@@ -1,0 +1,248 @@
+"""Curve / field parameter registry for the TPU-native ZK-algebra framework.
+
+This is the analog of the reference's codegen parameter tables
+(/root/reference/codegen/src/Zikkurat/CodeGen/Curve/Params.hs:150-218 and
+/root/reference/codegen/src/Zikkurat/Generate.hs:134-145).  In the reference
+these records drive a Haskell source-level code generator; here they are plain
+dataclasses consumed at import time to build constant tables (Montgomery
+constants, twiddle factors, Frobenius tables) as JAX arrays.
+
+All values below are mathematical constants of the BN128 (alt-bn128 / BN254)
+and BLS12-381 curves; derived quantities (R, R^2, p' = -p^-1 mod 2^16, ...)
+are computed on the fly by the limb-plane layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Limb layout: TPU-native 16-bit limbs held in uint32 planes.
+#
+# The reference uses 4-12 x 64-bit limbs with hardware add-with-carry
+# (lib/cbits/platform.h).  TPUs have neither 64-bit integer multiply nor carry
+# chains, so we use radix 2^16: a 16-bit x 16-bit product fits exactly in a
+# uint32 lane and column sums stay far below 2^32, making carry handling a
+# vectorized shift/mask pass on the VPU.
+# ---------------------------------------------------------------------------
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def nlimbs_for(p: int) -> int:
+    """Number of 16-bit limbs, rounded up to a multiple of 4 (64-bit words)
+    so that R = 2^(16*L) coincides with the reference's Montgomery R."""
+    bits = p.bit_length()
+    words64 = -(-bits // 64)
+    return words64 * 4
+
+
+@dataclass(frozen=True)
+class FieldParams:
+    """A prime field with optional power-of-two FFT domain.
+
+    Mirrors the reference's `primefield_list`
+    (codegen/src/Zikkurat/Generate.hs:134-145).
+    """
+
+    name: str
+    p: int
+    # smallest primitive generator of the multiplicative group
+    multiplicative_gen: int
+    # (log2 size, generator) of the maximal power-of-two subgroup, if any
+    fft_domain: Optional[Tuple[int, int]] = None
+
+    @cached_property
+    def nlimbs(self) -> int:
+        return nlimbs_for(self.p)
+
+    @cached_property
+    def r_mont(self) -> int:
+        """Montgomery R = 2^(16*L) == 2^(64*nwords64), same as the reference."""
+        return 1 << (LIMB_BITS * self.nlimbs)
+
+    @cached_property
+    def r2_mont(self) -> int:
+        return (self.r_mont * self.r_mont) % self.p
+
+    @cached_property
+    def r3_mont(self) -> int:
+        return (self.r_mont * self.r2_mont) % self.p
+
+    @cached_property
+    def p_inv_neg_limb(self) -> int:
+        """-p^-1 mod 2^16 - the per-limb Montgomery reduction constant."""
+        return (-pow(self.p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+    @cached_property
+    def p_inv_neg_word64(self) -> int:
+        """-p^-1 mod 2^64 (for the 64-bit host-side C oracle)."""
+        return (-pow(self.p, -1, 1 << 64)) % (1 << 64)
+
+
+@dataclass(frozen=True)
+class TowerParams:
+    """Extension tower Fp2/Fp6/Fp12 over a base field.
+
+    Mirrors codegen/src/Zikkurat/CodeGen/Towers.hs:40-48 plus the pure
+    instances (pure/src/ZK/Algebra/Pure/Instances/{BN254,BLS12_381}.hs:33-35):
+
+        Fp2  = Fp [u] / (u^2 + 1)
+        Fp6  = Fp2[v] / (v^3 - xi)          xi in Fp2
+        Fp12 = Fp6[w] / (w^2 - v)
+    """
+
+    # xi = xi0 + xi1*u, the Fp6 non-residue
+    xi0: int
+    xi1: int
+
+
+@dataclass(frozen=True)
+class CurveParams:
+    """A pairing-friendly curve family (G1 over Fp, twisted G2 over Fp2).
+
+    Mirrors Curve1/Curve2/Curve12 records
+    (codegen/src/Zikkurat/CodeGen/Curve/Params.hs:35-64, 150-218).
+    """
+
+    name: str
+    fp: FieldParams
+    fr: FieldParams
+    a: int
+    b: int
+    cofactor: int
+    g1_gen: Tuple[int, int]
+    glv_beta_lambda: Optional[Tuple[int, int]]
+    # twisted curve over Fp2: y^2 = x^3 + b2, b2 = b20 + b21*u
+    b2: Tuple[int, int]
+    g2_cofactor: int
+    g2_gen: Tuple[Tuple[int, int], Tuple[int, int]]
+    tower: TowerParams
+    # curve seed x; ate loop parameter and sign conventions derive from this
+    seed: int
+    family: str = "bls"  # "bn" or "bls"
+
+    @cached_property
+    def ate_loop_count(self) -> int:
+        """|Miller loop scalar|: 6x+2 for BN, |x| for BLS.
+
+        cf. bn128_pairing.c:26-30 (0x19d797039be763ba8) and
+        bls12_381_pairing.c:26-28 (0xd201000000010000)."""
+        if self.family == "bn":
+            return 6 * self.seed + 2
+        return abs(self.seed)
+
+
+# ---------------------------------------------------------------------------
+# BN128 (alt-bn128 / BN254)
+# constants from codegen/src/Zikkurat/CodeGen/Curve/Params.hs:150-181 and
+# codegen/src/Zikkurat/Generate.hs:134-145
+# ---------------------------------------------------------------------------
+
+BN128_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+BN128_R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+BN128_FP = FieldParams(name="BN128/Fp", p=BN128_P, multiplicative_gen=3)
+BN128_FR = FieldParams(
+    name="BN128/Fr",
+    p=BN128_R,
+    multiplicative_gen=5,
+    fft_domain=(
+        28,
+        19103219067921713944291392827692070036145651957329286315305642004821462161904,
+    ),
+)
+
+BN128 = CurveParams(
+    name="BN128",
+    fp=BN128_FP,
+    fr=BN128_FR,
+    a=0,
+    b=3,
+    cofactor=1,
+    g1_gen=(1, 2),
+    glv_beta_lambda=(
+        2203960485148121921418603742825762020974279258880205651966,
+        4407920970296243842393367215006156084916469457145843978461,
+    ),
+    b2=(
+        19485874751759354771024239261021720505790618469301721065564631296452457478373,
+        266929791119991161246907387137283842545076965332900288569378510910307636690,
+    ),
+    g2_cofactor=21888242871839275222246405745257275088844257914179612981679871602714643921549,
+    g2_gen=(
+        (
+            0x1ADCD0ED10DF9CB87040F46655E3808F98AA68A570ACF5B0BDE23FAB1F149701,
+            0x09E847E9F05A6082C3CD2A1D0A3A82E6FBFBE620F7F31269FA15D21C1C13B23B,
+        ),
+        (
+            0x056C01168A5319461F7CA7AA19D4FCFD1C7CDF52DBFC4CBEE6F915250B7F6FC8,
+            0x0EFE500A2D02DD77F5F401329F30895DF553B878FC3C0DADAAA86456A623235C,
+        ),
+    ),
+    tower=TowerParams(xi0=9, xi1=1),  # v^3 = 9 + u
+    seed=4965661367192848881,
+    family="bn",
+)
+
+# ---------------------------------------------------------------------------
+# BLS12-381
+# constants from codegen/src/Zikkurat/CodeGen/Curve/Params.hs:185-218
+# ---------------------------------------------------------------------------
+
+BLS12_381_P = 4002409555221667393417789825735904156556882819939007885332058136124031650490837864442687629129015664037894272559787
+BLS12_381_R = 52435875175126190479447740508185965837690552500527637822603658699938581184513
+
+BLS12_381_FP = FieldParams(name="BLS12-381/Fp", p=BLS12_381_P, multiplicative_gen=2)
+BLS12_381_FR = FieldParams(
+    name="BLS12-381/Fr",
+    p=BLS12_381_R,
+    multiplicative_gen=7,
+    fft_domain=(
+        32,
+        10238227357739495823651030575849232062558860180284477541189508159991286009131,
+    ),
+)
+
+BLS12_381 = CurveParams(
+    name="BLS12-381",
+    fp=BLS12_381_FP,
+    fr=BLS12_381_FR,
+    a=0,
+    b=4,
+    cofactor=76329603384216526031706109802092473003,
+    g1_gen=(
+        3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,
+        1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569,
+    ),
+    glv_beta_lambda=(
+        4002409555221667392624310435006688643935503118305586438271171395842971157480381377015405980053539358417135540939436,
+        228988810152649578064853576960394133503,
+    ),
+    b2=(4, 4),  # 4(1+u)
+    g2_cofactor=305502333931268344200999753193121504214466019254188142667664032982267604182971884026507427359259977847832272839041616661285803823378372096355777062779109,
+    g2_gen=(
+        (
+            352701069587466618187139116011060144890029952792775240219908644239793785735715026873347600343865175952761926303160,
+            3059144344244213709971259814753781636986470325476647558659373206291635324768958432433509563104347017837885763365758,
+        ),
+        (
+            1985150602287291935568054521177171638300868978215655730859378665066344726373823718423869104263333984641494340347905,
+            927553665492332455747201965776037880757740193453592970025027978793976877002675564980949289727957565575433344219582,
+        ),
+    ),
+    tower=TowerParams(xi0=1, xi1=1),  # v^3 = 1 + u
+    seed=-0xD201000000010000,
+    family="bls",
+)
+
+CURVES = {"BN128": BN128, "BLS12-381": BLS12_381}
+FIELDS = {
+    "BN128/Fp": BN128_FP,
+    "BN128/Fr": BN128_FR,
+    "BLS12-381/Fp": BLS12_381_FP,
+    "BLS12-381/Fr": BLS12_381_FR,
+}
