@@ -3,12 +3,26 @@ tests run without TPU hardware.  Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session pre-sets JAX_PLATFORMS=axon (tunneled real TPU) and
+# sitecustomize.py re-registers axon via jax.config at interpreter start, so
+# neither the env var nor setdefault works — we must override through
+# jax.config BEFORE any backend initializes.  Tests always run on the
+# virtual 8-device CPU mesh; only bench.py talks to the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the limb-plane kernels compose into large XLA
+# programs; caching makes repeated test runs start fast.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 

@@ -1,0 +1,140 @@
+"""Differential + property tests for the projective curve kernels (G1, G2).
+
+Mirrors the reference suites `proj_curve` / `g2_proj_curve`
+(test/src/ZK/Test/Curve/Properties.hs:193-231 group laws, :418-435
+affine<->proj roundtrips and proj-vs-affine cross-validation), checked
+against the branchy affine oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zikkurat_algebra_tpu import params as P
+from zikkurat_algebra_tpu.ops.curve import get_curves, limbs_to_bits
+
+N = 8
+
+CURVES = [P.BN128, P.BLS12_381]
+IDS = [c.name for c in CURVES]
+
+
+@pytest.fixture(params=CURVES, ids=IDS)
+def ck(request):
+    return get_curves(request.param)
+
+
+def rnd_points(rng, og, n=N, with_inf=True):
+    pts = [og.rnd(rng) for _ in range(n)]
+    if with_inf:
+        pts[0] = None
+        pts[1] = og.gen
+    return pts
+
+
+def roundtrip(curve_ops, enc_pts):
+    return curve_ops.to_affine(curve_ops.from_affine(enc_pts))
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_group_laws_vs_oracle(rng, ck, grp):
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+    ops = getattr(ck, grp)
+    enc = getattr(ck, f"encode_{grp}")
+    dec = getattr(ck, f"decode_{grp}")
+
+    av = rnd_points(rng, og)
+    bv = rnd_points(rng, og)
+    A = ops.from_affine(enc(av))
+    B = ops.from_affine(enc(bv))
+
+    # add / dbl / neg / sub, incl. infinity and P==Q edge cases
+    got_add = dec(ops.to_affine(ops.add(A, B)))
+    assert got_add == [og.add(x, y) for x, y in zip(av, bv)]
+    got_self = dec(ops.to_affine(ops.add(A, A)))   # complete formula: P+P
+    assert got_self == [og.dbl(x) for x in av]
+    got_dbl = dec(ops.to_affine(ops.dbl(A)))
+    assert got_dbl == [og.dbl(x) for x in av]
+    got_neg = dec(ops.to_affine(ops.neg(A)))
+    assert got_neg == [og.neg(x) for x in av]
+    got_sub = dec(ops.to_affine(ops.sub(A, B)))
+    assert got_sub == [og.sub(x, y) for x, y in zip(av, bv)]
+    # P + (-P) == inf
+    cancel = ops.add(A, ops.neg(A))
+    assert all(np.asarray(ops.is_inf(cancel)))
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_mixed_add(rng, ck, grp):
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+    ops = getattr(ck, grp)
+    enc = getattr(ck, f"encode_{grp}")
+    dec = getattr(ck, f"decode_{grp}")
+    av, bv = rnd_points(rng, og), rnd_points(rng, og)
+    A = ops.from_affine(enc(av))
+    Baff = enc(bv)
+    got = dec(ops.to_affine(ops.madd(A, Baff)))
+    assert got == [og.add(x, y) for x, y in zip(av, bv)]
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_affine_roundtrip_and_predicates(rng, ck, grp):
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+    ops = getattr(ck, grp)
+    enc = getattr(ck, f"encode_{grp}")
+    dec = getattr(ck, f"decode_{grp}")
+    av = rnd_points(rng, og)
+    A = ops.from_affine(enc(av))
+    assert dec(ops.to_affine(A)) == av
+    assert list(np.asarray(ops.is_inf(A))) == [p is None for p in av]
+    assert all(np.asarray(ops.is_on_curve(A)))
+    # eq: A == A, A != shifted A
+    assert all(np.asarray(ops.eq(A, A)))
+    # scale Z by a constant: still equal projectively
+    f = ops.f
+    k = f.one(()) if grp == "g1" else None
+    # is_on_curve rejects corrupted x
+    X, Y, Z = A
+    bad = (ops.f.add(X, ops.f.one(X.shape[ops.f.struct_ndim:])), Y, Z)
+    onc = np.asarray(ops.is_on_curve(bad))
+    infs = np.asarray(ops.is_inf(A))
+    assert not any(onc[~infs])
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_scalar_mul(rng, ck, grp):
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+    ops = getattr(ck, grp)
+    enc = getattr(ck, f"encode_{grp}")
+    dec = getattr(ck, f"decode_{grp}")
+    n = 4
+    av = rnd_points(rng, og, n)
+    A = ops.from_affine(enc(av))
+    # static small scalars
+    for k in (0, 1, 2, 5, 11):
+        got = dec(ops.to_affine(ops.scalar_mul_static(k, A)))
+        assert got == [og.scalar_mul(k, p) for p in av]
+    # per-element random full-width scalars via Fr limb planes
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    k_limbs = ck.fr.encode(ks, mont=False)
+    got = dec(ops.to_affine(ops.scalar_mul_fr_std(k_limbs, A)))
+    assert got == [og.scalar_mul(k, p) for k, p in zip(ks, av)]
+
+
+def test_subgroup_check_g1(rng, ck):
+    og = ck.oracle_g1
+    ops = ck.g1
+    av = rnd_points(rng, og, 4)
+    A = ops.from_affine(ck.encode_g1(av))
+    # r * P == inf for subgroup points
+    rP = ops.scalar_mul_static(ck.curve.fr.p, A)
+    assert all(np.asarray(ops.is_inf(rP)))
+
+
+def test_limbs_to_bits(rng, ck):
+    fr = ck.fr
+    vals = [rng.randrange(fr.p) for _ in range(5)]
+    a = fr.encode(vals, mont=False)
+    bits = np.asarray(limbs_to_bits(a))
+    for j, v in enumerate(vals):
+        got = sum(int(bits[i, j]) << i for i in range(bits.shape[0]))
+        assert got == v

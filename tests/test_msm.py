@@ -1,0 +1,75 @@
+"""MSM tests: differential vs the oracle's slow-reference MSM and the
+triple-check pattern of examples/MSM.hs:65-77 (std-coeff vs mont-coeff vs
+scalar-mul-and-sum)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zikkurat_algebra_tpu import params as P
+from zikkurat_algebra_tpu.ops.curve import get_curves
+from zikkurat_algebra_tpu.ops.msm import digits_from_limbs, window_size
+
+
+@pytest.fixture(params=[P.BN128, P.BLS12_381], ids=["BN128", "BLS"])
+def ck(request):
+    return get_curves(request.param)
+
+
+def test_digit_extraction(rng, ck):
+    fr = ck.fr
+    n, c = 7, 13
+    ks = [rng.randrange(fr.p) for _ in range(n)]
+    limbs = fr.encode(ks, mont=False)
+    nbits = fr.p.bit_length()
+    digits = np.asarray(digits_from_limbs(limbs, c, nbits))
+    windows = -(-nbits // c)
+    assert digits.shape == (windows, n)
+    for w in range(windows):
+        for j, k in enumerate(ks):
+            assert digits[w, j] == (k >> (w * c)) & ((1 << c) - 1)
+
+
+@pytest.mark.parametrize("n,c", [(1, 2), (8, 3), (33, 5), (64, None)])
+def test_msm_vs_oracle_g1(rng, ck, n, c):
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    pts = [og.rnd(rng) for _ in range(n)]
+    if n >= 8:
+        pts[3] = None                     # infinity input
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    if n >= 8:
+        ks[1] = 0                         # zero scalar
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    res = msm.msm_std(k_limbs, A, c)
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want
+    # mont-coeff path agrees (examples/MSM.hs triple check)
+    k_mont = ck.fr.encode(ks, mont=True)
+    res2 = msm.msm_mont(k_mont, A, c)
+    got2 = ck.decode_g1(ck.g1.to_affine(res2))
+    assert got2 == want
+
+
+def test_msm_vs_oracle_g2(rng, ck):
+    og = ck.oracle_g2
+    msm = ck.msm("g2")
+    n = 9
+    pts = [og.rnd(rng) for _ in range(n)]
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g2(pts)
+    res = msm.msm_std(k_limbs, A, 4)
+    got = ck.decode_g2(ck.g2.to_affine(res))
+    assert got == want
+
+
+def test_window_size_heuristic():
+    # c = round(log2 N - 3.5) clamped (bn128_G1_jac.c:648-650)
+    assert window_size(1 << 20) == 16
+    assert window_size(1 << 10) == 6
+    assert window_size(10) == 1
+    assert window_size(1) == 1

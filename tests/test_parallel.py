@@ -1,0 +1,66 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: shard-count
+invariance of MSM, NTT and reductions (SURVEY.md §4 'multi-chip tests
+asserting shard-count invariance of results')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zikkurat_algebra_tpu import params as P
+from zikkurat_algebra_tpu.ops.curve import get_curves
+from zikkurat_algebra_tpu.ops.field import get_field
+from zikkurat_algebra_tpu.ops.ntt import get_domain
+from zikkurat_algebra_tpu.parallel.mesh import make_mesh, shard_batch
+from zikkurat_algebra_tpu.parallel.msm import sharded_msm
+from zikkurat_algebra_tpu.parallel.ntt import ShardedNTT
+from zikkurat_algebra_tpu.parallel.vector import sharded_dot, sharded_sum
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_sum_dot(rng, mesh):
+    f = get_field(P.BN128_FR)
+    n = 64
+    av = [rng.randrange(f.p) for _ in range(n)]
+    bv = [rng.randrange(f.p) for _ in range(n)]
+    a = shard_batch(mesh, f.encode(av))
+    b = shard_batch(mesh, f.encode(bv))
+    assert f.decode(sharded_sum(f, mesh, a)) == sum(av) % f.p
+    assert f.decode(sharded_dot(f, mesh, a, b)) == (
+        sum(x * y for x, y in zip(av, bv)) % f.p
+    )
+
+
+def test_sharded_ntt_matches_single_device(rng, mesh):
+    f = get_field(P.BN128_FR)
+    m = 7
+    n = 1 << m
+    av = [rng.randrange(f.p) for _ in range(n)]
+    a = f.encode(av)
+    single = f.decode(get_domain(f, m).ntt(a))
+    sntt = ShardedNTT(f, m, mesh)
+    got = f.decode(sntt.ntt(shard_batch(mesh, a)))
+    assert got == single
+    # inverse roundtrip
+    back = f.decode(sntt.intt(shard_batch(mesh, get_domain(f, m).ntt(a))))
+    assert back == av
+
+
+def test_sharded_msm_matches_single_device(rng, mesh):
+    ck = get_curves(P.BN128)
+    og = ck.oracle_g1
+    n = 32
+    pts = [og.rnd(rng) for _ in range(n)]
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    want = og.msm(ks, pts)
+    k_limbs = shard_batch(mesh, ck.fr.encode(ks, mont=False))
+    A = ck.encode_g1(pts)
+    A = (shard_batch(mesh, A[0]), shard_batch(mesh, A[1]), shard_batch(mesh, A[2]))
+    res = sharded_msm(ck.msm("g1"), mesh, k_limbs, A, c=4)
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want

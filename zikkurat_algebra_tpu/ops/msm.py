@@ -1,0 +1,193 @@
+"""Multi-scalar multiplication (Pippenger) on limb planes.
+
+TPU analog of the reference's bucket-method MSM
+(lib/cbits/curves/g1/jac/bn128_G1_jac.c:555-692 `MSM_std_coeff_jac_out_variable`).
+
+The reference's hot loop is a data-dependent scatter (`bucket[e] += point`)
+— impossible to vectorize directly.  TPU-native reformulation
+(SURVEY.md §7.2 hard part 2/3):
+
+  per window:  digit extraction  ->  argsort points by digit
+            -> SEGMENTED associative scan with the complete group law
+               (log-depth, ~2N group adds)
+            -> segment tails scattered into the bucket array
+            -> weighted bucket sum  sum_b b*S_b  via a suffix
+               associative scan + tree reduction (log-depth replacement
+               for the serial running sums, jac.c:620-631)
+  windows combined by Horner: res = 2^c * res + W_w  (c doublings).
+
+Every group operation is the branch-free complete projective formula, so
+infinities and duplicate points need no special-casing anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.jit import jit_method
+from .curve import ProjCurveOps, Point, AffBatch, limbs_to_bits
+
+U32 = jnp.uint32
+
+
+def window_size(n: int) -> int:
+    """Reference heuristic c = round(log2 N - 3.5), clamped
+    (bn128_G1_jac.c:648-650); upper clamp 16 fits the bucket array."""
+    if n <= 1:
+        return 1
+    c = round(math.log2(n) - 3.5)
+    return max(1, min(16, c))
+
+
+def digits_from_limbs(k_limbs: jax.Array, c: int, nbits: int) -> jax.Array:
+    """Standard-rep scalar limb planes (Lr, N) -> per-window c-bit digits
+    (windows, N) int32.  (cf. digit extraction straddling word boundaries,
+    bn128_G1_jac.c:600-605 — here just a bit-plane matmul-free rebuild)."""
+    bits = limbs_to_bits(k_limbs)             # (16*Lr, N)
+    windows = -(-nbits // c)
+    need = windows * c
+    have = bits.shape[0]
+    if have < need:
+        pad = jnp.zeros((need - have,) + bits.shape[1:], U32)
+        bits = jnp.concatenate([bits, pad], 0)
+    bits = bits[:need].reshape((windows, c) + bits.shape[1:])
+    weights = (jnp.uint32(1) << jnp.arange(c, dtype=U32)).reshape(
+        (1, c) + (1,) * (bits.ndim - 2)
+    )
+    return jnp.sum(bits * weights, axis=1).astype(jnp.int32)
+
+
+def _tree_reduce(ops: ProjCurveOps, P: Point) -> Point:
+    """Sum a batch of points (batch axis = last) to a single point by
+    repeated halving (log depth)."""
+    def n_of(P):
+        return P[0].shape[-1]
+
+    while n_of(P) > 1:
+        n = n_of(P)
+        if n % 2:
+            inf = ops.infinity(P[0].shape[ops.f.struct_ndim:-1] + (1,))
+            P = tuple(
+                jnp.concatenate([p, i], axis=-1) for p, i in zip(P, inf)
+            )
+            n += 1
+        half = n // 2
+        A = tuple(p[..., :half] for p in P)
+        B = tuple(p[..., half:] for p in P)
+        P = ops.add(A, B)
+    return tuple(p[..., 0] for p in P)
+
+
+def _segment_scan_tails(ops: ProjCurveOps, P: Point, seg_id: jax.Array
+                        ) -> Tuple[Point, jax.Array]:
+    """Inclusive segmented scan of points grouped by sorted seg_id.
+
+    Returns (scanned points, tail mask) where tail positions hold each
+    segment's full sum."""
+    n = seg_id.shape[-1]
+    # flags get leading singleton axes so every scan leaf has the same rank
+    # (associative_scan canonicalizes `axis` against leaf ranks)
+    rank = P[0].ndim
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), seg_id[1:] != seg_id[:-1]]
+    ).reshape((1,) * (rank - 1) + (n,))
+
+    def combine(a, b):
+        (pa, fa) = a
+        (pb, fb) = b
+        summed = ops.add(pa, pb)
+        pred = fb.reshape(fb.shape[-1:])
+        pt = ops.select(pred, pb, summed)
+        return (pt, jnp.logical_or(fa, fb))
+
+    scanned, _ = lax.associative_scan(combine, (P, first), axis=-1)
+    tail = jnp.concatenate(
+        [seg_id[1:] != seg_id[:-1], jnp.ones((1,), jnp.bool_)]
+    )
+    return scanned, tail
+
+
+class MSM:
+    """Pippenger MSM bound to one curve group."""
+
+    def __init__(self, ops: ProjCurveOps, nbits: int):
+        self.ops = ops
+        self.nbits = nbits
+
+    @jit_method(static_argnums=(3,))
+    def msm_std(self, k_limbs: jax.Array, points: AffBatch,
+                c: Optional[int] = None) -> Point:
+        """MSM with standard-rep scalar limb planes (Lr, N) and affine
+        points; returns one projective point.
+        (cf. MSM_std_coeff_proj_out, bn128_G1_proj.h:43-49)"""
+        ops = self.ops
+        n = k_limbs.shape[-1]
+        if c is None:
+            c = window_size(n)
+        nbuckets = 1 << c
+        digits = digits_from_limbs(k_limbs, c, self.nbits)  # (W, N)
+        P = ops.from_affine(points)
+
+        def per_window(_, digit):
+            order = jnp.argsort(digit)
+            d_sorted = jnp.take(digit, order)
+            Ps = tuple(jnp.take(p, order, axis=-1) for p in P)
+            scanned, tail = _segment_scan_tails(ops, Ps, d_sorted)
+            # scatter segment sums into buckets; non-tails go to a dump slot
+            idx = jnp.where(tail, d_sorted, nbuckets)
+            binf = ops.infinity((nbuckets + 1,))
+            buckets = tuple(
+                b.at[..., idx].set(s) for b, s in zip(binf, scanned)
+            )
+            buckets = tuple(b[..., 1:nbuckets] for b in buckets)  # drop 0 & dump
+            # weighted sum: suffix scan then tree-sum  (sum_b b*S_b)
+            suffix = lax.associative_scan(
+                lambda A, B: ops.add(A, B), buckets,
+                axis=buckets[0].ndim - 1, reverse=True,
+            )
+            W = _tree_reduce(ops, suffix)
+            return None, W
+
+        _, Ws = lax.scan(per_window, None, digits)   # leaves: (W, L, ...)
+
+        # Horner combine from the top window: res = 2^c * res + W_w
+        def combine(res, W):
+            def dbl_step(_, r):
+                return ops.dbl(r)
+            res = lax.fori_loop(0, c, dbl_step, res)
+            return ops.add(res, W), None
+
+        res0 = ops.infinity(())
+        Ws_rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), Ws)
+        res, _ = lax.scan(combine, res0, Ws_rev)
+        return res
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+class CurveMSM(MSM):
+    """MSM with the scalar field attached (handles mont->std conversion)."""
+
+    def __init__(self, ops: ProjCurveOps, fr):
+        super().__init__(ops, fr.p.bit_length())
+        self.fr = fr
+
+    @jit_method(static_argnums=(3,))
+    def msm_mont(self, k_mont: jax.Array, points: AffBatch,
+                 c: Optional[int] = None) -> Point:
+        return self.msm_std(self.fr.from_mont(k_mont), points, c)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

@@ -1,0 +1,125 @@
+"""Number-theoretic transform (NTT / iNTT) on limb planes.
+
+TPU analog of the reference's recursive radix-2 DIT NTT
+(lib/cbits/curves/poly/mont/bn128_poly_mont.c:418-522).  Re-designed as an
+ITERATIVE Cooley-Tukey pipeline: one bit-reversal gather + log2(N)
+vectorized butterfly stages, each a reshape + batched field mul/add/sub
+across the whole domain — no recursion, no scratch doubling, fully static
+shapes for XLA.
+
+Convention (matches oracle/ntt.py and the reference):
+    ntt:  out[k] = sum_j in[j] * gen^(j*k)   — evaluate on the subgroup
+    intt: inverse, includes the 1/N scaling.
+
+Twiddle factors are precomputed per (field, log2-size) on the host by the
+int oracle (the analog of codegen-time constant generation) and baked as
+Montgomery-form device constants."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import FieldParams
+from ..oracle.ntt import subgroup_gen
+from .field import Field, get_field
+from ..utils.jit import jit_method
+
+
+def bit_reverse_perm(m: int) -> np.ndarray:
+    n = 1 << m
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(m):
+        rev |= ((idx >> b) & 1) << (m - 1 - b)
+    return rev
+
+
+class NTTDomain:
+    """A power-of-two evaluation domain (the analog of `FFTSubgroup`,
+    lib/src/ZK/Algebra/Class/FFT.hs:27-68): generator of the 2^m subgroup
+    derived by squaring down from the field's maximal FFT domain."""
+
+    def __init__(self, field: Field, log2_size: int):
+        self.field = field
+        self.m = log2_size
+        self.n = 1 << log2_size
+        params: FieldParams = field.params
+        p = params.p
+        self.gen = subgroup_gen(params, log2_size)
+        self.gen_inv = pow(self.gen, -1, p)
+        self.n_inv = pow(self.n, -1, p)
+        self._perm = bit_reverse_perm(self.m)
+        # stage twiddles: stage s in 1..m uses w_s = gen^(2^(m-s)) of order
+        # 2^s; table_s = [w_s^j for j < 2^(s-1)] in Montgomery form.
+        self._fwd = self._stage_tables(self.gen)
+        self._inv = self._stage_tables(self.gen_inv)
+        self._ninv_mont = field.encode(self.n_inv)
+
+    def _stage_tables(self, g: int) -> List[jax.Array]:
+        p = self.field.p
+        tables = []
+        for s in range(1, self.m + 1):
+            w = pow(g, 1 << (self.m - s), p)
+            half = 1 << (s - 1)
+            tw, acc = [], 1
+            for _ in range(half):
+                tw.append(acc)
+                acc = acc * w % p
+            tables.append(self.field.encode(tw))  # (L, half)
+        return tables
+
+    # -- transforms --------------------------------------------------------
+    def _transform(self, x: jax.Array, tables: List[jax.Array]) -> jax.Array:
+        f = self.field
+        L, n = x.shape[0], self.n
+        assert x.shape[-1] == n, f"domain size {n} != array size {x.shape[-1]}"
+        batch = x.shape[1:-1]
+        x = jnp.take(x, jnp.asarray(self._perm), axis=-1)
+        for s in range(1, self.m + 1):
+            half = 1 << (s - 1)
+            nblocks = n >> s
+            xb = x.reshape((L,) + batch + (nblocks, 2, half))
+            u = xb[..., 0, :]
+            v = xb[..., 1, :]
+            tw = tables[s - 1].reshape((L,) + (1,) * len(batch) + (1, half))
+            t = f.mul(v, jnp.broadcast_to(tw, v.shape))
+            hi = f.add(u, t)
+            lo = f.sub(u, t)
+            x = jnp.concatenate([hi, lo], axis=-1).reshape((L,) + batch + (n,))
+        return x
+
+    @jit_method
+    def ntt(self, x: jax.Array) -> jax.Array:
+        """Forward NTT of Montgomery-form coefficients (L, *batch, n)."""
+        return self._transform(x, self._fwd)
+
+    @jit_method
+    def intt(self, x: jax.Array) -> jax.Array:
+        """Inverse NTT (includes division by N, cf. ntt_inverse
+        bn128_poly_mont.c:472-522)."""
+        y = self._transform(x, self._inv)
+        f = self.field
+        ninv = self._ninv_mont.reshape((f.L,) + (1,) * (y.ndim - 1))
+        return f.mul(y, jnp.broadcast_to(ninv, y.shape))
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+_DOMAIN_CACHE: dict = {}
+
+
+def get_domain(field: Field, log2_size: int) -> NTTDomain:
+    key = (field.params.name, log2_size)
+    d = _DOMAIN_CACHE.get(key)
+    if d is None:
+        d = NTTDomain(field, log2_size)
+        _DOMAIN_CACHE[key] = d
+    return d

@@ -1,0 +1,226 @@
+"""Optimal Ate pairing on limb planes (BN128 and BLS12-381).
+
+TPU analog of lib/cbits/curves/pairing/{bn128,bls12_381}_pairing.c (C13).
+Architecture (branch-free, batched, division-free):
+
+* Miller loop over the TWISTED curve: T stays projective over Fp2 (the
+  complete-formula curve kernels do the point updates), line values are
+  computed denominator-free — the discarded factors all lie in Fp2* and
+  die in the final exponentiation.
+* Sparse line placement by twist type, derived from the untwist maps
+  (psi as in bn128_pairing.c:49-57 / bls12_381_pairing.c:53-60):
+    D-type (BN):  l = (Lam*yp)  + (-theta*xp) w  + (theta*xq - Lam*yq) w^3
+    M-type (BLS): same triple at w^0 <-> w^3 and w -> w^2 mirrored
+  (the reference's (1, w, w^3) D-type combine, bn128_pairing.c:195-202,
+  and M-type combine, bls12_381_pairing.c:85-90).
+* BN extra Frobenius steps T += pi(Q), T += -pi^2(Q) with the G2
+  Frobenius endomorphism phi(x, y) = (g_x * conj x, g_y * conj y),
+  g_x = xi^((p-1)/3), g_y = xi^((p-1)/2)  (bn128_pairing.c:327-358).
+* Final exponentiation: easy part (p^6-1)(p^2+1) via conjugation, one
+  Fp12 inverse and Frobenius; hard part (p^4-p^2+1)/r as one static-bit
+  pow scan.  (The reference's multi-exponentiation hard part,
+  bls12_381_pairing.c:241-328, is an optimization of the same map; GT
+  values agree.)
+
+Everything is batched: e(P_i, Q_i) for whole arrays of pairs at once —
+the reference computes one pairing per call.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..params import CurveParams
+from ..utils.convert import int_to_bits
+from ..utils.jit import jit_method
+from .curve import CurveKernels, get_curves, Point, AffBatch
+
+U32 = jnp.uint32
+
+
+class PairingKernels:
+    def __init__(self, curve: CurveParams):
+        from ..oracle.pairing import Pairing as OraclePairing
+
+        self.curve = curve
+        self.ck: CurveKernels = get_curves(curve)
+        self.tower = self.ck.tower
+        self.oracle = OraclePairing(curve)
+
+        p = curve.fp.p
+        t = self.tower
+        # G2-Frobenius constants gamma_x = xi^((p-1)/3), gamma_y = xi^((p-1)/2)
+        xi = self.oracle.tower.fp2.xi
+        o2 = self.oracle.tower.fp2
+        self.gx_const = t.encode_fp2_const(o2.pow(xi, (p - 1) // 3))
+        self.gy_const = t.encode_fp2_const(o2.pow(xi, (p - 1) // 2))
+
+        # Miller loop bits of |s|, MSB-first with the leading 1 dropped
+        s = curve.ate_loop_count
+        self.loop_bits = [int(b) for b in bin(s)[3:]]
+
+        # hard exponent (p^4 - p^2 + 1) // r  (the cyclotomic-phi_12 part)
+        self.hard_exp = (p ** 4 - p ** 2 + 1) // curve.fr.p
+
+    # ------------------------------------------------------------------
+    def _const2(self, c, like):
+        """Broadcast an (L, 2) Fp2 constant against an Fp2 batch array."""
+        cb = jnp.reshape(c, c.shape + (1,) * (like.ndim - c.ndim))
+        return jnp.broadcast_to(cb, like.shape)
+
+    def g2_frobenius(self, xy: Tuple[jax.Array, jax.Array]):
+        """phi(x, y) = (g_x * conj x, g_y * conj y) on affine Fp2 coords
+        (the untwist-Frobenius-twist endomorphism, bls12_381_pairing.c:69-75)."""
+        f2 = self.tower.fp2
+        x, y = xy
+        return (
+            f2.mul(f2.conj(x), self._const2(self.gx_const, x)),
+            f2.mul(f2.conj(y), self._const2(self.gy_const, y)),
+        )
+
+    # ------------------------------------------------------------------
+    def _sparse12(self, c_y, c_x, c_base):
+        """Assemble the sparse line value as a full Fp12 element.
+
+        w-power placement (w-slot i, v-slot j <-> w^(i+2j)):
+          D-type: c_y at w^0, c_x at w^1, c_base at w^3
+          M-type: c_base at w^0, c_x at w^2, c_y at w^3
+        """
+        f2 = self.tower.fp2
+        z = jnp.zeros_like(c_y)
+        if self.curve.family == "bn":
+            w0, w1, w2, w3 = c_y, c_x, z, c_base
+        else:
+            w0, w1, w2, w3 = c_base, z, c_x, c_y
+        # fp6 components: A = (w0, w2, w4), B = (w1, w3, w5)
+        A = jnp.stack([w0, w2, z], 1)
+        B = jnp.stack([w1, w3, z], 1)
+        return jnp.stack([A, B], 1)
+
+    def _line_dbl(self, T: Point, xp, yp):
+        """Line coefficients for the doubling step (projective T, a=0):
+        triple (2YZ^2*yp, -3X^2 Z*xp, 3X^3 - 2Y^2 Z), all Fp2 (xp, yp are
+        the G1 affine coordinates, embedded as Fp2 scalars on axis u=0)."""
+        f2 = self.tower.fp2
+        X, Y, Z = T
+        Ysq = f2.sqr(Y)
+        Xsq = f2.sqr(X)
+        X3 = f2.mul(Xsq, X)
+        YZ = f2.mul(Y, Z)
+        c_y = f2.scale_base(yp, f2.mul(f2.add(YZ, YZ), Z))      # 2YZ^2 * yp
+        t3x2z = f2.mul(f2.add(f2.add(Xsq, Xsq), Xsq), Z)        # 3X^2 Z
+        c_x = f2.neg(f2.scale_base(xp, t3x2z))                  # -3X^2 Z * xp
+        t3x3 = f2.add(f2.add(X3, X3), X3)
+        c_base = f2.sub(t3x3, f2.mul(f2.add(Ysq, Ysq), Z))      # 3X^3 - 2Y^2 Z
+        return c_y, c_x, c_base
+
+    def _line_add(self, T: Point, Q: Tuple[jax.Array, jax.Array], xp, yp):
+        """Line coefficients for the mixed-addition step:
+        theta = Y - yq Z, Lam = X - xq Z;
+        triple (Lam*yp, -theta*xp, theta*xq - Lam*yq)."""
+        f2 = self.tower.fp2
+        X, Y, Z = T
+        xq, yq = Q
+        theta = f2.sub(Y, f2.mul(yq, Z))
+        lam = f2.sub(X, f2.mul(xq, Z))
+        c_y = f2.scale_base(yp, lam)
+        c_x = f2.neg(f2.scale_base(xp, theta))
+        c_base = f2.sub(f2.mul(theta, xq), f2.mul(lam, yq))
+        return c_y, c_x, c_base
+
+    # ------------------------------------------------------------------
+    @jit_method
+    def miller_loop(self, P: AffBatch, Q: AffBatch) -> jax.Array:
+        """f_{s,Q}(P) (up to Fp2* factors); batched over the last axis.
+        cf. miller_loop bn128_pairing.c:208-230 / bls12_381_pairing.c:214-235."""
+        t = self.tower
+        f2, f12, fp = t.fp2, t.fp12, t.fp
+        g2ops = self.ck.g2
+        xp, yp, _p_inf = P
+        xq, yq, _q_inf = Q
+        batch = xp.shape[1:]
+
+        f = f12.one(batch)
+        T = g2ops.from_affine(Q)
+        Qp = (xq, yq)
+
+        # one lax.scan over the static loop bits: always compute the
+        # dbl-step and the add-step, select by bit — a single compiled
+        # body instead of a 64x-unrolled graph (compile-time critical).
+        def step(carry, bit):
+            f, T = carry
+            cy, cx, cb = self._line_dbl(T, xp, yp)
+            T2 = g2ops.dbl(T)
+            f2 = f12.mul(f12.sqr(f), self._sparse12(cy, cx, cb))
+            cy, cx, cb = self._line_add(T2, Qp, xp, yp)
+            T3 = g2ops.madd(T2, Q)
+            f3 = f12.mul(f2, self._sparse12(cy, cx, cb))
+            pred = jnp.broadcast_to(bit == 1, batch)
+            fo = f12.select(pred, f3, f2)
+            To = g2ops.select(pred, T3, T2)
+            return (fo, To), None
+
+        bits = jnp.asarray(self.loop_bits, U32)
+        (f, T), _ = lax.scan(step, (f, T), bits)
+
+        if self.curve.family == "bn":
+            # extra Frobenius line steps (bn128_pairing.c:340-355)
+            piQ = self.g2_frobenius(Qp)
+            pi2Q = self.g2_frobenius(piQ)
+            pi2Q = (pi2Q[0], f2.neg(pi2Q[1]))
+            inf_mask = jnp.zeros(batch, jnp.bool_)
+            cy, cx, cb = self._line_add(T, piQ, xp, yp)
+            T = g2ops.madd(T, (piQ[0], piQ[1], inf_mask))
+            f = f12.mul(f, self._sparse12(cy, cx, cb))
+            cy, cx, cb = self._line_add(T, pi2Q, xp, yp)
+            T = g2ops.madd(T, (pi2Q[0], pi2Q[1], inf_mask))
+            f = f12.mul(f, self._sparse12(cy, cx, cb))
+        elif self.curve.seed < 0:
+            f = t.fp12_conj(f)   # negative loop parameter (BLS)
+        return f
+
+    @jit_method
+    def final_exp(self, f: jax.Array) -> jax.Array:
+        """f^((p^12-1)/r): easy part via conj/inv/frobenius, hard part as
+        a static-bit pow scan (cf. bn128_pairing.c:300-321)."""
+        t = self.tower
+        f12 = t.fp12
+        # easy: f <- f^(p^6 - 1) = conj(f) * inv(f)
+        f1 = f12.mul(t.fp12_conj(f), f12.inv(f))
+        # easy: f <- f^(p^2 + 1)
+        f2_ = f12.mul(t.fp12_frobenius(f1, 2), f1)
+        # hard: ^ (p^4 - p^2 + 1)/r
+        return f12.pow_bits(f2_, jnp.asarray(int_to_bits(self.hard_exp)))
+
+    @jit_method
+    def pairing(self, P: AffBatch, Q: AffBatch) -> jax.Array:
+        """Full optimal-Ate pairing e(P, Q), batched; infinity inputs give
+        1 (bn128_pairing.c:327-333)."""
+        t = self.tower
+        f12 = t.fp12
+        f = self.miller_loop(P, Q)
+        out = self.final_exp(f)
+        one = f12.one(P[0].shape[1:])
+        inf = jnp.logical_or(P[2], Q[2])
+        return f12.select(inf, one, out)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+_PAIRING_CACHE: dict = {}
+
+
+def get_pairing(curve: CurveParams) -> PairingKernels:
+    pk = _PAIRING_CACHE.get(curve.name)
+    if pk is None:
+        pk = PairingKernels(curve)
+        _PAIRING_CACHE[curve.name] = pk
+    return pk

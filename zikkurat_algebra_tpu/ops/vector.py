@@ -1,0 +1,106 @@
+"""Pointwise / vector operations over field-element arrays.
+
+TPU analog of the reference's pointwise-array kernels
+(lib/cbits/curves/array/mont/*_arr_mont.c — C15): mul_add/mul_sub,
+dot_prod, geometric `powers`, scale, Ax_plus_y, Ax_plus_By.  Plain
+pointwise neg/add/sub/sqr/mul/inv/div need no code here — the Field/tower
+kernels are batch-first already, so `field.mul(a, b)` on (L, N) IS the
+pointwise array op.
+
+The interesting parts are the reductions: dot products use lazy uint32
+column accumulation in chunks (sums of < 2^8 normalized field elements
+stay < 2^24 per column) with one Montgomery wide-reduction per chunk —
+a log-depth replacement for the reference's serial loops."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import limbs as lb
+from .field import Field
+
+U32 = jnp.uint32
+
+_CHUNK = 256  # lazy-sum chunk: 256 * (2^16-1) < 2^24 per column, no overflow
+
+
+def reduce_wide(f: Field, v: jax.Array) -> jax.Array:
+    """Reduce lazy columns (L, *batch), each < 2^24, to a field element
+    < p: REDC of the zero-padded value then multiply back by R^2."""
+    wide = jnp.concatenate([v, jnp.zeros_like(v)], 0)
+    nb = v.ndim - 1
+    t = lb.mont_redc(wide, f._c(f.p_np, nb), f.pinv16)      # v * R^-1
+    r2 = f._c(f.r2_np, nb)
+    return lb.mont_mul(t, r2, f._c(f.p_np, nb), f.pinv16)   # v mod p
+
+
+def sum_mod(f: Field, a: jax.Array, axis: int = -1) -> jax.Array:
+    """Modular sum of field elements along a batch axis.
+
+    a: (L, *batch); `axis` indexes into *batch (negative ok).  Chunked
+    lazy uint32 sums + Montgomery wide reduction; log-depth overall."""
+    if axis < 0:
+        axis = a.ndim + axis
+    assert axis >= 1, "axis 0 is the limb axis"
+    a = jnp.moveaxis(a, axis, -1)
+    while a.shape[-1] > 1:
+        n = a.shape[-1]
+        c = min(n, _CHUNK)
+        pad = (-n) % c
+        if pad:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        a = a.reshape(a.shape[:-1] + ((n + pad) // c, c))
+        lazy = jnp.sum(a, axis=-1, dtype=U32)
+        a = reduce_wide(f, lazy)
+    return a[..., 0]
+
+
+def dot_prod(f: Field, a: jax.Array, b: jax.Array) -> jax.Array:
+    """<a, b> = sum_i a_i * b_i  (cf. arr_mont `dot_prod`)."""
+    return sum_mod(f, f.mul(a, b))
+
+
+def mul_add(f: Field, a, b, c):
+    """a*b + c fused (cf. arr_mont `mul_add`)."""
+    return f.add(f.mul(a, b), c)
+
+
+def mul_sub(f: Field, a, b, c):
+    return f.sub(f.mul(a, b), c)
+
+
+def ax_plus_y(f: Field, a, x, y):
+    """A*x + y with scalar A (L, *1) and vectors x, y (cf. `Ax_plus_y`)."""
+    return f.add(f.mul(jnp.broadcast_to(a, x.shape), x), y)
+
+
+def ax_plus_by(f: Field, a, x, b, y):
+    return f.add(
+        f.mul(jnp.broadcast_to(a, x.shape), x),
+        f.mul(jnp.broadcast_to(b, y.shape), y),
+    )
+
+
+def scale(f: Field, s, a):
+    """s * a_i for scalar s (L,) or (L,1)."""
+    s = s.reshape((f.L,) + (1,) * (a.ndim - 1))
+    return f.mul(jnp.broadcast_to(s, a.shape), a)
+
+
+def powers(f: Field, a: jax.Array, b: jax.Array, n: int) -> jax.Array:
+    """Geometric series [a, a*b, a*b^2, ..., a*b^(n-1)] -> (L, n)
+    (cf. arr_mont `powers`, bn128_arr_mont.c:187).  a, b: (L,) single
+    elements.  Log-depth prefix product."""
+    elems = jnp.concatenate(
+        [a[:, None], jnp.broadcast_to(b[:, None], (f.L, n - 1))], 1
+    )
+    return lax.associative_scan(lambda u, v: f.mul(u, v), elems, axis=1)
+
+
+def lin_comb(f: Field, coeffs, vecs):
+    """sum_k coeffs_k * vecs_k: coeffs (L, K), vecs (L, K, N) -> (L, N)
+    (cf. Class/Vector.hs linComb1/linComb2)."""
+    prods = f.mul(jnp.broadcast_to(coeffs[:, :, None], vecs.shape), vecs)
+    return sum_mod(f, prods, axis=1)
