@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): BLS12-381 G1 Pippenger MSM points/sec on the TPU.
+Sizes: --n log2 points (default 16; --smoke forces 10 and CPU-friendly
+settings).  Correctness is cross-checked against the oracle on a small
+prefix before timing.
+
+vs_baseline: ratio vs the measured native CPU reference implementation
+(cpp/ zikkurat-style Jacobian Pippenger) when built — 0.0 until then.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16, help="log2 number of points")
+    ap.add_argument("--curve", default="BLS12-381")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--check", type=int, default=0,
+                    help="cross-check a 2^check-point prefix vs the oracle")
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.n = min(args.n, 10)
+    if args.cpu or args.smoke:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    from zikkurat_algebra_tpu.utils.cache import setup_cache
+    setup_cache(jax)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+    from zikkurat_algebra_tpu.ops.field import ints_to_limbs15
+
+    curve = P.CURVES[args.curve]
+    ck = get_curves(curve)
+    fr = ck.fr
+    fp = ck.tower.fp
+    msm = ck.msm("g1")
+    n = 1 << args.n
+
+    # synthesize points cheaply: random multiples of G via one batched
+    # device scalar-mul (avoids the slow oracle for big N)
+    rng = np.random.RandomState(12345)
+
+    def rand_field_ints(count, p):
+        nbytes = (p.bit_length() + 7) // 8 + 8
+        return [
+            int.from_bytes(rng.bytes(nbytes), "little") % p for c in range(count)
+        ]
+
+    t0 = time.time()
+    ks = rand_field_ints(n, fr.p)
+    k_limbs = jnp.asarray(ints_to_limbs15(ks, fr.L))
+    seed_scalars = rand_field_ints(min(n, 1024), fr.p)
+    # build a base set of distinct points: s_i * G for 1024 seeds, tiled
+    og = ck.oracle_g1
+    base_pts = None
+    G = ck.g1.from_affine(ck.encode_g1([og.gen] * len(seed_scalars)))
+    s_limbs = fr.encode(seed_scalars, mont=False)
+    seeds_proj = ck.g1.scalar_mul_fr_std(s_limbs, G)
+    seeds_aff = ck.g1.to_affine(seeds_proj)
+    reps = n // len(seed_scalars) if n >= len(seed_scalars) else 1
+    pts = tuple(
+        jnp.tile(c, (1,) * (c.ndim - 1) + (reps,))[..., :n] for c in seeds_aff[:2]
+    ) + (jnp.tile(seeds_aff[2], reps)[:n],)
+    jax.block_until_ready(pts)
+    setup_s = time.time() - t0
+
+    if args.check:
+        m = 1 << args.check
+        want = og.msm(
+            ks[:m],
+            ck.decode_g1(tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],)),
+        )
+        got_pt = msm.msm_std(
+            jnp.asarray(ints_to_limbs15(ks[:m], fr.L)),
+            tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],),
+        )
+        got = ck.decode_g1(ck.g1.to_affine(got_pt))
+        assert got == want, "MSM cross-check vs oracle FAILED"
+
+    # compile
+    t0 = time.time()
+    res = msm.msm_std(k_limbs, pts)
+    jax.block_until_ready(res)
+    compile_and_first_s = time.time() - t0
+
+    # timed runs
+    iters = 3 if args.n >= 18 else 5
+    t0 = time.time()
+    for _ in range(iters):
+        res = msm.msm_std(k_limbs, pts)
+        jax.block_until_ready(res)
+    per_run = (time.time() - t0) / iters
+    pps = n / per_run
+
+    baseline_pps = _cpp_baseline_pps(args)
+    out = {
+        "metric": f"{args.curve.lower().replace('-', '_')}_g1_msm_2e{args.n}_points_per_sec",
+        "value": round(pps, 2),
+        "unit": "points/s",
+        "vs_baseline": round(pps / baseline_pps, 4) if baseline_pps else 0.0,
+    }
+    print(json.dumps(out))
+    print(
+        f"# n=2^{args.n} backend={jax.devices()[0].platform} "
+        f"setup={setup_s:.1f}s first={compile_and_first_s:.1f}s "
+        f"run={per_run * 1e3:.1f}ms",
+        file=sys.stderr,
+    )
+
+
+def _cpp_baseline_pps(args):
+    """points/s of the native CPU reference (cpp/build/msm_bench), if built."""
+    import subprocess
+    exe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "cpp", "build", "msm_bench")
+    if not os.path.exists(exe):
+        return None
+    try:
+        out = subprocess.run(
+            [exe, str(args.n)], capture_output=True, text=True, timeout=600
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["points_per_sec"])
+    except Exception:
+        return None
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,17 @@ def test_encode_decode_roundtrip(rng, fld):
     assert f.decode(a) == vals
     a_std = f.encode(vals, mont=False)
     assert f.decode(a_std, mont=False) == vals
-    # Montgomery interchange contract: encode(mont) limbs == oracle to_mont
-    expect = [o.to_limbs(o.to_mont(v)) for v in vals]
-    got = np.asarray(a).T.tolist()
-    assert got == expect
+    # Montgomery interchange contract (bn128_Fr_mont.c:325-357): export to
+    # the REFERENCE's R = 2^(64w) word format and compare against the
+    # oracle's Montgomery serialization, then round-trip back.
+    ref_words = f.export_ref_mont(a)
+    for words, v in zip(ref_words, vals):
+        m = o.to_mont(v)  # value * R_ref mod p
+        expect = [(m >> (64 * i)) & ((1 << 64) - 1)
+                  for i in range(f.params.nlimbs // 4)]
+        assert words == expect
+    back = f.import_ref_mont(ref_words)
+    assert f.decode(back) == vals
 
 
 def test_ring_ops_vs_oracle(rng, fld):

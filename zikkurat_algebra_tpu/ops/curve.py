@@ -9,15 +9,16 @@ addition formulas of Renes-Costello-Batina 2015 for a=0 curves
 including doubling and infinity (0:1:0), which is exactly what a
 vectorized TPU kernel needs (SURVEY.md §7.2 hard part 4).
 
-Points are (X, Y, Z) tuples of coordinate-field elements; the coordinate
-field is any tower level (Fp for G1, Fp2 for G2), so one implementation
-serves both groups.  Affine interchange uses an explicit infinity mask
-(the analog of the reference's all-0xFF sentinel, bn128_G1_affine.c:43-92).
+The independent multiplications inside each formula are grouped into
+`mul_list` batches (one CIOS scan per group), so a complete addition is
+~3 fused kernels over Fp or Fp2 alike.  Points are (X, Y, Z) tuples of
+coordinate-field elements; affine interchange uses an explicit infinity
+mask (the analog of the all-0xFF sentinel, bn128_G1_affine.c:43-92).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax
@@ -27,36 +28,37 @@ from jax import lax
 from ..params import CurveParams
 from ..utils.convert import int_to_bits
 from ..utils.jit import jit_method
-from . import limbs as lb
+from . import limbs15 as rl
 
+I32 = jnp.int32
 U32 = jnp.uint32
 
-Point = Tuple[jax.Array, jax.Array, jax.Array]   # projective (X, Y, Z)
+Point = Tuple[jax.Array, jax.Array, jax.Array]     # projective (X, Y, Z)
 AffBatch = Tuple[jax.Array, jax.Array, jax.Array]  # (x, y, inf_mask)
 
 
 class ProjCurveOps:
     """Branch-free projective group law over a coordinate field `f`.
 
-    `b3_mont`: the constant 3*b as a coordinate-field element (broadcast
-    shape), precomputed in Montgomery form.
-    """
+    b3: either a small int (3*b for G1 — applied as a carry-free limb
+    scaling) or a coordinate-field constant array (G2's 3*b' in Fp2)."""
 
-    def __init__(self, f, b3_mont: jax.Array, scalar_bits: int, name=""):
+    def __init__(self, f, b3: Union[int, jax.Array], scalar_bits: int, name=""):
         self.f = f
-        self.b3 = b3_mont          # shape: f element with batch ()
+        self.b3 = b3
+        self.b3_small = isinstance(b3, int)
         self.scalar_bits = scalar_bits
         self.name = name
 
     # -- constants ----------------------------------------------------------
-    def _b3(self, like: jax.Array) -> jax.Array:
-        b3 = jnp.reshape(
-            self.b3, self.b3.shape + (1,) * (like.ndim - self.b3.ndim)
-        )
-        return jnp.broadcast_to(b3, like.shape)
-
     def mul_b3(self, t: jax.Array) -> jax.Array:
-        return self.f.mul(t, self._b3(t))
+        if self.b3_small:
+            return self.f.scale_small(t, self.b3)
+        b3 = jnp.broadcast_to(
+            jnp.reshape(self.b3, self.b3.shape + (1,) * (t.ndim - self.b3.ndim)),
+            t.shape,
+        )
+        return self.f.mul(t, b3)
 
     def infinity(self, batch_shape=()) -> Point:
         f = self.f
@@ -67,11 +69,14 @@ class ProjCurveOps:
         return self.f.is_zero(P[2])
 
     def eq(self, P: Point, Q: Point) -> jax.Array:
-        """Projective equality via cross-multiplication (cf.
-        bn128_G1_proj `is_equal`); infinity == infinity."""
+        """Projective equality via cross-multiplication (cf. `is_equal`);
+        infinity == infinity."""
         f = self.f
-        x_eq = f.eq(f.mul(P[0], Q[2]), f.mul(Q[0], P[2]))
-        y_eq = f.eq(f.mul(P[1], Q[2]), f.mul(Q[1], P[2]))
+        xz1, xz2, yz1, yz2 = f.mul_list(
+            [(P[0], Q[2]), (Q[0], P[2]), (P[1], Q[2]), (Q[1], P[2])]
+        )
+        x_eq = f.eq(xz1, xz2)
+        y_eq = f.eq(yz1, yz2)
         both_inf = jnp.logical_and(self.is_inf(P), self.is_inf(Q))
         neither = jnp.logical_not(
             jnp.logical_or(self.is_inf(P), self.is_inf(Q))
@@ -81,98 +86,86 @@ class ProjCurveOps:
         )
 
     def is_on_curve(self, P: Point) -> jax.Array:
-        """Y^2 Z == X^3 + b Z^3 (homogenized; a=0 curves only)."""
+        """3*(Y^2 Z) == 3*X^3 + (3b)*Z^3 (homogenized, a=0)."""
         f = self.f
-        lhs = f.mul(f.sqr(P[1]), P[2])
-        z3 = f.mul(f.sqr(P[2]), P[2])
-        bz3 = self.f.mul(z3, self._b3(z3))          # 3b * Z^3
-        # b*Z^3 = (3b*Z^3) / 3 — avoid needing a separate b const:
-        # instead compute rhs directly with b3/3? Simpler: x^3 + b z^3
-        # via  3*(x^3) + b3*z^3 == 3*(y^2 z).
-        x3 = f.mul(f.sqr(P[0]), P[0])
-        three = lambda t: f.add(f.add(t, t), t)
-        return self.f.eq(three(lhs), f.add(three(x3), bz3))
+        y2, x2, z2 = f.mul_list([(P[1], P[1]), (P[0], P[0]), (P[2], P[2])])
+        lhs, x3, z3 = f.mul_list([(y2, P[2]), (x2, P[0]), (z2, P[2])])
+        bz3 = self.mul_b3(z3)
+        return f.eq(f.scale_small(lhs, 3),
+                    f.add(f.scale_small(x3, 3), bz3))
 
     # -- group law (complete formulas) ---------------------------------------
-    @jit_method
     def neg(self, P: Point) -> Point:
         return (P[0], self.f.neg(P[1]), P[2])
 
     @jit_method
     def add(self, P: Point, Q: Point) -> Point:
-        """Complete projective addition, RCB15 algorithm 7 (a=0).
-        12M + 2m_b3; valid for ALL inputs (P==Q, infinities...).
-        Replaces branchy add-2015-rcb/add-2007-bl usage
-        (bn128_G1_proj.c:272, bn128_G1_jac.c:277)."""
+        """Complete projective addition, RCB15 algorithm 7 (a=0):
+        12M + 2m_b3 in 3 fused mul batches; valid for ALL inputs."""
         f = self.f
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
-        t0 = f.mul(X1, X2)
-        t1 = f.mul(Y1, Y2)
-        t2 = f.mul(Z1, Z2)
-        t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
-        t3 = f.sub(t3, f.add(t0, t1))
-        t4 = f.mul(f.add(Y1, Z1), f.add(Y2, Z2))
-        t4 = f.sub(t4, f.add(t1, t2))
-        X3 = f.mul(f.add(X1, Z1), f.add(X2, Z2))
-        Y3 = f.sub(X3, f.add(t0, t2))
-        X3 = f.add(f.add(t0, t0), t0)
-        t2 = self.mul_b3(t2)
-        Z3 = f.add(t1, t2)
-        t1 = f.sub(t1, t2)
+        t0, t1, t2, m3, m4, m5 = f.mul_list([
+            (X1, X2), (Y1, Y2), (Z1, Z2),
+            (f.add(X1, Y1), f.add(X2, Y2)),
+            (f.add(Y1, Z1), f.add(Y2, Z2)),
+            (f.add(X1, Z1), f.add(X2, Z2)),
+        ])
+        t3 = f.sub(m3, f.add(t0, t1))
+        t4 = f.sub(m4, f.add(t1, t2))
+        Y3 = f.sub(m5, f.add(t0, t2))
+        X3 = f.scale_small(t0, 3)
+        t2b = self.mul_b3(t2)
+        Z3 = f.add(t1, t2b)
+        t1 = f.sub(t1, t2b)
         Y3 = self.mul_b3(Y3)
-        X3n = f.sub(f.mul(t3, t1), f.mul(t4, Y3))
-        Y3n = f.add(f.mul(Y3, X3), f.mul(t1, Z3))
-        Z3n = f.add(f.mul(Z3, t4), f.mul(X3, t3))
-        return (X3n, Y3n, Z3n)
+        p0, p1, p2, p3, p4, p5 = f.mul_list([
+            (t3, t1), (t4, Y3), (Y3, X3), (t1, Z3), (Z3, t4), (X3, t3),
+        ])
+        return (f.sub(p0, p1), f.add(p2, p3), f.add(p4, p5))
 
     @jit_method
     def dbl(self, P: Point) -> Point:
         """Complete projective doubling, RCB15 algorithm 9 (a=0)."""
         f = self.f
         X, Y, Z = P
-        t0 = f.sqr(Y)
-        Z3 = f.add(t0, t0)
-        Z3 = f.add(Z3, Z3)
-        Z3 = f.add(Z3, Z3)               # 8 Y^2
-        t1 = f.mul(Y, Z)
-        t2 = f.sqr(Z)
-        t2 = self.mul_b3(t2)             # 3b Z^2
-        X3 = f.mul(t2, Z3)
+        t0, t1, t2, xy = f.mul_list([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+        Z3 = f.scale_small(t0, 8)
+        t2 = self.mul_b3(t2)                       # 3b Z^2
         Y3 = f.add(t0, t2)
-        Z3 = f.mul(t1, Z3)
-        t1 = f.add(t2, t2)
-        t2 = f.add(t1, t2)
-        t0 = f.sub(t0, t2)
-        Y3 = f.mul(t0, Y3)
-        Y3 = f.add(X3, Y3)
-        t1 = f.mul(X, Y)
-        X3 = f.mul(t0, t1)
-        X3 = f.add(X3, X3)
-        return (X3, Y3, Z3)
+        t0 = f.sub(t0, f.scale_small(t2, 3))
+        q0, q1, q2, q3 = f.mul_list([
+            (t2, Z3), (t1, Z3), (t0, Y3), (t0, xy),
+        ])
+        return (f.scale_small(q3, 2), f.add(q0, q2), q1)
 
     @jit_method
     def madd(self, P: Point, Q: AffBatch) -> Point:
         """Mixed addition P + (x2, y2, inf2), RCB15 algorithm 8 (a=0),
-        11M + 2m_b3; the affine infinity handled by one final select
-        (cf. madd-1998-cmo usage, bn128_G1_proj.c:333)."""
+        affine infinity handled by one final select (cf. madd-1998-cmo
+        usage, bn128_G1_proj.c:333)."""
         f = self.f
         X1, Y1, Z1 = P
         X2, Y2, inf2 = Q
-        t0 = f.mul(X1, X2)
-        t1 = f.mul(Y1, Y2)
-        t3 = f.mul(f.add(X2, Y2), f.add(X1, Y1))
-        t3 = f.sub(t3, f.add(t0, t1))
-        t4 = f.add(f.mul(X2, Z1), X1)
-        t5 = f.add(f.mul(Y2, Z1), Y1)
-        X3 = f.add(f.add(t0, t0), t0)    # 3 X1X2
-        t2 = self.mul_b3(Z1)             # 3b Z1
+        t0, t1, m3, m4, m5 = f.mul_list([
+            (X1, X2), (Y1, Y2),
+            (f.add(X2, Y2), f.add(X1, Y1)),
+            (X2, Z1), (Y2, Z1),
+        ])
+        t3 = f.sub(m3, f.add(t0, t1))
+        t4 = f.add(m4, X1)
+        t5 = f.add(m5, Y1)
+        X3 = f.scale_small(t0, 3)
+        t2 = self.mul_b3(Z1)
         Z3 = f.add(t1, t2)
         t1 = f.sub(t1, t2)
         Y3 = self.mul_b3(t4)
-        X3n = f.sub(f.mul(t3, t1), f.mul(t5, Y3))
-        Y3n = f.add(f.mul(Y3, X3), f.mul(t1, Z3))
-        Z3n = f.add(f.mul(Z3, t5), f.mul(X3, t3))
+        p0, p1, p2, p3, p4, p5 = f.mul_list([
+            (t3, t1), (t5, Y3), (Y3, X3), (t1, Z3), (Z3, t5), (X3, t3),
+        ])
+        X3n = f.sub(p0, p1)
+        Y3n = f.add(p2, p3)
+        Z3n = f.add(p4, p5)
         sel = lambda a, b: self.f.select(inf2, a, b)
         return (sel(X1, X3n), sel(Y1, Y3n), sel(Z1, Z3n))
 
@@ -188,32 +181,28 @@ class ProjCurveOps:
     @jit_method
     def to_affine(self, P: Point) -> AffBatch:
         """Batch normalize: (X/Z, Y/Z, inf_mask) via batched inverse
-        (cf. batch_to_affine / batch_inv, bn128_G1_proj.c)."""
+        (cf. batch_to_affine / batch_inv)."""
         f = self.f
         inf = self.is_inf(P)
         zinv = f.batch_inv(P[2]) if hasattr(f, "batch_inv") else f.inv(P[2])
-        return (f.mul(P[0], zinv), f.mul(P[1], zinv), inf)
+        x, y = f.mul_list([(P[0], zinv), (P[1], zinv)])
+        return (x, y, inf)
 
     def from_affine(self, A: AffBatch) -> Point:
         f = self.f
         x, y, inf = A
-        bs = x.shape[f.struct_ndim:] if hasattr(f, "struct_ndim") else x.shape[1:]
+        bs = x.shape[f.struct_ndim:]
         one = f.one(bs)
         zero = f.zero(bs)
         s = f.select
-        return (
-            s(inf, zero, x),
-            s(inf, one, y),
-            s(inf, zero, one),
-        )
+        return (s(inf, zero, x), s(inf, one, y), s(inf, zero, one))
 
     # -- scalar multiplication ----------------------------------------------
     @jit_method
     def scalar_mul_bits(self, bits: jax.Array, P: Point) -> Point:
-        """[k] P with k given as little-endian bit planes (B, *batch):
-        branch-free double-and-add lax.scan (cf. scl_windowed,
-        bn128_G1_proj.c — window optimization comes with MSM)."""
-        bs = self.f.batch_shape(P[0]) if hasattr(self.f, "batch_shape") else P[0].shape[1:]
+        """[k] P with k as little-endian bit planes (B, *batch):
+        branch-free double-and-add scan."""
+        bs = P[0].shape[self.f.struct_ndim:]
         acc0 = self.infinity(bs)
 
         def body(carry, bit):
@@ -226,18 +215,16 @@ class ProjCurveOps:
 
     def scalar_mul_static(self, k: int, P: Point) -> Point:
         if k == 0:
-            bs = P[0].shape[self.f.struct_ndim:]
-            return self.infinity(bs)
+            return self.infinity(P[0].shape[self.f.struct_ndim:])
         if k < 0:
             return self.neg(self.scalar_mul_static(-k, P))
         return self.scalar_mul_bits(jnp.asarray(int_to_bits(k)), P)
 
     @jit_method
     def scalar_mul_fr_std(self, k_limbs: jax.Array, P: Point) -> Point:
-        """[k] P with k a standard-rep scalar-field limb plane (Lr, *batch)
-        (cf. scl_big / scl_Fr_mont after from_mont)."""
-        bits = limbs_to_bits(k_limbs)
-        return self.scalar_mul_bits(bits, P)
+        """[k] P with k a CANONICAL standard-rep scalar limb plane
+        (Lr, *batch) (cf. scl_big / scl_Fr_mont after from_mont)."""
+        return self.scalar_mul_bits(limbs_to_bits(k_limbs), P)
 
     def __hash__(self):
         return id(self)
@@ -247,11 +234,14 @@ class ProjCurveOps:
 
 
 def limbs_to_bits(a: jax.Array) -> jax.Array:
-    """(L, *batch) uint32 16-bit limbs -> (16L, *batch) bit planes (LE)."""
+    """(L, *batch) CANONICAL 15-bit limb planes -> (15L, *batch) bit
+    planes (LE).  Inputs must be normalized (norm_std / encode)."""
     L = a.shape[0]
-    shifts = jnp.arange(16, dtype=U32).reshape((1, 16) + (1,) * (a.ndim - 1))
+    shifts = jnp.arange(rl.LB, dtype=I32).reshape(
+        (1, rl.LB) + (1,) * (a.ndim - 1)
+    )
     bits = (a[:, None] >> shifts) & 1
-    return bits.reshape((L * 16,) + a.shape[1:])
+    return bits.reshape((L * rl.LB,) + a.shape[1:]).astype(U32)
 
 
 class CurveKernels:
@@ -270,8 +260,7 @@ class CurveKernels:
         fp2 = self.tower.fp2
         r_bits = curve.fr.p.bit_length()
 
-        b3_g1 = fp.encode(3 * curve.b)
-        self.g1 = ProjCurveOps(fp, b3_g1, r_bits, name=f"{curve.name}/G1")
+        self.g1 = ProjCurveOps(fp, 3 * curve.b, r_bits, name=f"{curve.name}/G1")
 
         b2 = self.oracle_g2.b
         b3_g2 = self.tower.encode_fp2_const(
@@ -291,9 +280,8 @@ class CurveKernels:
             self._msm[grp] = CurveMSM(ops, self.fr)
         return self._msm[grp]
 
-    # -- host encode/decode for G1 ------------------------------------------
+    # -- host encode/decode --------------------------------------------------
     def encode_g1(self, pts: Sequence) -> AffBatch:
-        """Oracle affine points (None = infinity) -> affine device batch."""
         fp = self.tower.fp
         xs = [0 if p is None else p[0] for p in pts]
         ys = [0 if p is None else p[1] for p in pts]
@@ -305,9 +293,7 @@ class CurveKernels:
         xs, ys, infs = fp.decode(A[0]), fp.decode(A[1]), np.asarray(A[2])
         if isinstance(xs, int):
             return None if bool(infs) else (xs, ys)
-        return [
-            None if bool(i) else (x, y) for x, y, i in zip(xs, ys, infs)
-        ]
+        return [None if bool(i) else (x, y) for x, y, i in zip(xs, ys, infs)]
 
     def encode_g2(self, pts: Sequence) -> AffBatch:
         t = self.tower
@@ -322,9 +308,7 @@ class CurveKernels:
         xs, ys, infs = t.decode_fp2(A[0]), t.decode_fp2(A[1]), np.asarray(A[2])
         if isinstance(xs, tuple):
             return None if bool(infs) else (xs, ys)
-        return [
-            None if bool(i) else (x, y) for x, y, i in zip(xs, ys, infs)
-        ]
+        return [None if bool(i) else (x, y) for x, y, i in zip(xs, ys, infs)]
 
     def __hash__(self):
         return id(self)

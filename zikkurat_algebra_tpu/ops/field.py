@@ -4,14 +4,20 @@ TPU analog of the reference's per-field generated C modules
 (lib/cbits/curves/fields/mont/*_mont.c: REDC mul/sqr, pow, batch_inv,
 from_std/to_std — bn128_Fr_mont.c:140-357) and of the std-representation
 modules (curves/fields/std).  Unlike the reference, every operation is
-batch-first: arrays are uint32 limb planes of shape ``(L, *batch)`` in
-Montgomery form, and the "unit op" is just batch size 1.
+batch-first and the representation is REDUNDANT (ops/limbs15.py): signed
+radix-2^15 limb planes ``(L, *batch)`` int32, values congruent mod p and
+only canonicalized at API boundaries — adds/subs are carry-free vector
+ops, multiplication is one CIOS scan, and `mul_many` fuses arbitrarily
+many independent products into a single scan (the tower layers ride this
+to collapse an Fp12 multiplication into ONE kernel).
+
+Montgomery R' = 2^(15*L) is internal; conversion to the reference's
+interchange R = 2^(64*w) happens host-side in export/import helpers.
 """
 
 from __future__ import annotations
 
-from functools import cached_property
-from typing import Optional, Sequence, Union
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 import jax
@@ -19,78 +25,116 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..params import FieldParams
-from ..utils.convert import int_to_bits, ints_to_limbs, limbs_to_ints
+from ..utils.convert import int_to_bits
 from ..utils.jit import jit_method
-from . import limbs as lb
+from . import limbs15 as rl
 
-U32 = jnp.uint32
+I32 = jnp.int32
+LB = rl.LB
+
+
+def ints_to_limbs15(values: Union[int, Sequence[int]], L: int) -> np.ndarray:
+    if isinstance(values, int):
+        return np.array(
+            [(values >> (LB * k)) & rl.MASK for k in range(L)], dtype=np.int32
+        )
+    vals = list(values)
+    out = np.empty((L, len(vals)), dtype=np.int32)
+    for n, v in enumerate(vals):
+        for k in range(L):
+            out[k, n] = (v >> (LB * k)) & rl.MASK
+    return out
+
+
+def limbs15_to_ints(limbs: np.ndarray) -> Union[int, List[int]]:
+    """Signed redundant limb planes -> exact Python int value(s)."""
+    arr = np.asarray(limbs)
+    L = arr.shape[0]
+    if arr.ndim == 1:
+        return sum(int(arr[k]) << (LB * k) for k in range(L))
+    flat = arr.reshape(L, -1)
+    return [
+        sum(int(flat[k, n]) << (LB * k) for k in range(L))
+        for n in range(flat.shape[1])
+    ]
 
 
 class Field:
-    """Montgomery-form prime field over uint32 limb planes.
-
-    Hashable/static by identity so it can be closed over by jitted
-    functions; all constants are held as numpy and materialized as XLA
-    constants at trace time.
-    """
+    """Montgomery-form prime field over signed redundant limb planes."""
 
     struct_ndim = 1  # leading non-batch axes (just the limb axis)
 
     def __init__(self, params: FieldParams):
         self.params = params
         self.p = params.p
-        self.L = params.nlimbs
-        self.p_np = ints_to_limbs(params.p, self.L)
-        self.pinv16 = params.p_inv_neg_limb
-        r = params.r_mont
-        self.one_std_np = ints_to_limbs(1, self.L)
-        self.one_np = ints_to_limbs(r % params.p, self.L)          # R mod p
-        self.r2_np = ints_to_limbs(params.r2_mont, self.L)         # R^2 mod p
-        self.r3_np = ints_to_limbs(params.r3_mont, self.L)         # R^3 mod p
-        self.zero_np = np.zeros(self.L, np.uint32)
+        self.L = rl.nlimbs15(params.p)
+        self.r_int = 1 << (LB * self.L)          # internal Montgomery R'
+        self.r_int_inv = pow(self.r_int, -1, self.p)
+        self.pinv15 = (-pow(self.p, -1, 1 << LB)) % (1 << LB)
+        self.p_np = ints_to_limbs15(params.p, self.L)
+        self.one_np = ints_to_limbs15(self.r_int % self.p, self.L)
+        self.r2_np = ints_to_limbs15(self.r_int ** 2 % self.p, self.L)
+        self.zero_np = np.zeros(self.L, np.int32)
+        inv2 = pow(2, -1, self.p)
+        self.inv2_np = ints_to_limbs15(inv2 * self.r_int % self.p, self.L)
         # Fermat exponent bits (LSB first) for inversion: a^(p-2)
         self.p_minus_2_bits = int_to_bits(params.p - 2)
 
-    # -- static-constant accessors (broadcastable (L, 1...)) ---------------
+    # -- constant accessors (broadcastable (L, 1...)) -----------------------
     def _c(self, arr: np.ndarray, batch_ndim: int) -> jax.Array:
         return jnp.asarray(arr).reshape((self.L,) + (1,) * batch_ndim)
 
     def consts(self, a: jax.Array):
-        nb = a.ndim - 1
-        return self._c(self.p_np, nb)
+        return self._c(self.p_np, a.ndim - 1)
 
     def zero(self, batch_shape=()) -> jax.Array:
-        return jnp.zeros((self.L,) + tuple(batch_shape), U32)
+        return jnp.zeros((self.L,) + tuple(batch_shape), I32)
 
     def one(self, batch_shape=()) -> jax.Array:
         return jnp.broadcast_to(
-            self._c(self.one_np, len(batch_shape)), (self.L,) + tuple(batch_shape)
+            self._c(self.one_np, len(batch_shape)),
+            (self.L,) + tuple(batch_shape),
         )
 
-    # -- ring ops ----------------------------------------------------------
-    @jit_method
+    # -- carry-free ring ops (lazy; canonicalized only at boundaries) ------
     def add(self, a, b):
-        return lb.add_mod(a, b, self.consts(a))
+        return rl.add(a, b)
 
-    @jit_method
     def sub(self, a, b):
-        return lb.sub_mod(a, b, self.consts(a))
+        return rl.sub(a, b)
 
-    @jit_method
     def neg(self, a):
-        return lb.neg_mod(a, self.consts(a))
+        return rl.neg(a)
+
+    def scale_small(self, a, k: int):
+        """Multiply by a small static integer (4 vector ops, no reduction)."""
+        return rl.scale_small(a, k)
 
     @jit_method
     def mul(self, a, b):
-        return lb.mont_mul(a, b, self.consts(a), self.pinv16)
+        return rl.mont_mul(a, b, self.consts(a), self.pinv15)
 
     @jit_method
     def sqr(self, a):
-        return lb.mont_sqr(a, self.consts(a), self.pinv16)
+        return rl.mont_mul(a, a, self.consts(a), self.pinv15)
 
     @jit_method
-    def div2(self, a):
-        return lb.div2_mod(a, self.consts(a))
+    def mul_many(self, a_stack: jax.Array, b_stack: jax.Array) -> jax.Array:
+        """Batched independent products: (L, K, *batch) pairs -> one CIOS
+        scan.  The tower layers flatten their Karatsuba trees onto K."""
+        return rl.mont_mul(a_stack, b_stack, self._c(self.p_np, a_stack.ndim - 1),
+                           self.pinv15)
+
+    def mul_list(self, pairs: Sequence[Tuple[jax.Array, jax.Array]]
+                 ) -> List[jax.Array]:
+        """K independent products fused into ONE CIOS kernel (list API —
+        the recursion bottom for the tower layers' Karatsuba flattening)."""
+        if len(pairs) == 1:
+            return [self.mul(pairs[0][0], pairs[0][1])]
+        A = jnp.stack([p[0] for p in pairs], 1)
+        B = jnp.stack([p[1] for p in pairs], 1)
+        C = self.mul_many(A, B)
+        return [C[:, i] for i in range(len(pairs))]
 
     @jit_method(static_argnums=(2,))
     def muli(self, a, k: int):
@@ -99,33 +143,51 @@ class Field:
             return jnp.zeros_like(a)
         if k == 1:
             return a
-        mont_k = ints_to_limbs((k * self.params.r_mont) % self.p, self.L)
-        return lb.mont_mul(a, self._c(mont_k, a.ndim - 1), self.consts(a), self.pinv16)
+        return rl.scale_small(a, k)
 
+    @jit_method
+    def div2(self, a):
+        """a/2 mod p via the Montgomery constant 1/2 (cf.
+        bn128_Fr_std.c:241-249 `div_by_2`)."""
+        c = jnp.broadcast_to(self._c(self.inv2_np, a.ndim - 1), a.shape)
+        return rl.mont_mul(a, c, self.consts(a), self.pinv15)
+
+    # -- boundary ops (canonical form) -------------------------------------
+    @jit_method
+    def norm(self, a) -> jax.Array:
+        """Canonical [0, p) limb planes."""
+        return rl.normalize(
+            a, self.consts(a), self.pinv15, self._c(self.one_np, a.ndim - 1)
+        )
+
+    @jit_method
     def is_zero(self, a):
-        return lb.is_zero(a)
+        return jnp.all(self.norm(a) == 0, axis=0)
 
+    @jit_method
     def eq(self, a, b):
-        return lb.eq(a, b)
+        return jnp.all(self.norm(a) == self.norm(b), axis=0)
 
     def select(self, pred, a, b):
-        return lb.select(pred, a, b)
+        return jnp.where(pred[None], a, b)
 
     # -- exponentiation ----------------------------------------------------
     @jit_method
     def pow_bits(self, a: jax.Array, bits: jax.Array) -> jax.Array:
-        """a ** e where `bits` is the little-endian bit array of e
-        (uint32 (B,)).  LSB-first square-and-multiply as a lax.scan —
-        branch-free select instead of the reference's data-dependent
-        loop (bn128_Fr_mont.c:222-249 `pow_gen`)."""
+        """a ** e with `bits` the little-endian bit array of e (LSB-first
+        square-and-multiply scan; branch-free select — cf. `pow_gen`,
+        bn128_Fr_mont.c:222-249)."""
         one = self.one(a.shape[1:])
 
         def body(carry, bit):
             acc, base = carry
-            acc2 = lb.select(bit == 1, self.mul(acc, base), acc)
-            return (acc2, self.sqr(base)), None
+            both = self.mul_many(
+                jnp.stack([acc, base], 1), jnp.stack([base, base], 1)
+            )
+            acc2 = jnp.where((bit == 1)[None], both[:, 0], acc)
+            return (acc2, both[:, 1]), None
 
-        (acc, _), _ = lax.scan(body, (one, a), jnp.asarray(bits, U32))
+        (acc, _), _ = lax.scan(body, (one, a), jnp.asarray(bits, jnp.uint32))
         return acc
 
     def pow_static(self, a: jax.Array, e: int) -> jax.Array:
@@ -137,9 +199,9 @@ class Field:
 
     @jit_method
     def inv(self, a: jax.Array) -> jax.Array:
-        """Field inverse by Fermat (a^(p-2)): constant-iteration, branch
-        free — replaces the reference's data-dependent binary Euclid
-        (bn128_Fr_std.c:252-315).  inv(0) == 0 as in the reference."""
+        """Fermat inverse a^(p-2): constant-iteration, branch-free
+        (replaces the reference's binary Euclid, bn128_Fr_std.c:252-315).
+        inv(0) == 0 as in the reference."""
         return self.pow_bits(a, jnp.asarray(self.p_minus_2_bits))
 
     @jit_method
@@ -148,76 +210,128 @@ class Field:
 
     @jit_method
     def batch_inv(self, a: jax.Array) -> jax.Array:
-        """Montgomery batch-inversion over the flattened batch.
-
-        The reference's serial prefix-product trick
-        (bn128_Fr_mont.c:258-285) re-formulated with two
-        `associative_scan`s (log-depth) + ONE Fermat inversion.
+        """Montgomery batch inversion: two log-depth associative scans +
+        ONE Fermat inversion (cf. the serial trick, bn128_Fr_mont.c:258-285).
         Zeros map to zero."""
-        batch_shape = a.shape[1:]
         x = a.reshape(self.L, -1)
         n = x.shape[1]
         if n == 1:
             return self.inv(a)
-        zero_mask = lb.is_zero(x)
+        zero_mask = self.is_zero(x)
         one = self.one((n,))
-        x1 = lb.select(zero_mask, one, x)
+        x1 = jnp.where(zero_mask[None], one, x)
         mulfn = lambda u, v: self.mul(u, v)
-        prefix = lax.associative_scan(mulfn, x1, axis=1)            # P_i
-        suffix = lax.associative_scan(mulfn, x1, axis=1, reverse=True)  # S_i
-        total_inv = self.inv(prefix[:, -1:])                        # (L, 1)
-        # inv_i = total_inv * P_{i-1} * S_{i+1}
+        prefix = lax.associative_scan(mulfn, x1, axis=1)
+        suffix = lax.associative_scan(mulfn, x1, axis=1, reverse=True)
+        total_inv = self.inv(prefix[:, -1:])
         p_shift = jnp.concatenate([self.one((1,)), prefix[:, :-1]], 1)
         s_shift = jnp.concatenate([suffix[:, 1:], self.one((1,))], 1)
         out = self.mul(self.mul(p_shift, s_shift),
                        jnp.broadcast_to(total_inv, x.shape))
-        out = lb.select(zero_mask, jnp.zeros_like(out), out)
+        out = jnp.where(zero_mask[None], jnp.zeros_like(out), out)
         return out.reshape(a.shape)
 
-    # -- representation conversions ---------------------------------------
+    # -- lazy wide reductions (for chunked sums, vector.py) ----------------
+    @jit_method
+    def reduce_wide(self, v: jax.Array) -> jax.Array:
+        """Reduce lazy columns (L, *batch) with |cols| < 2^26 to a field
+        element: REDC then multiply back by R'^2."""
+        nb = v.ndim - 1
+        t = jnp.concatenate([v, jnp.zeros((1,) + v.shape[1:], I32)], 0)
+        u = rl.mont_redc_wide(t, self._c(self.p_np, nb), self.pinv15)
+        r2 = jnp.broadcast_to(self._c(self.r2_np, nb), u.shape)
+        return rl.mont_mul(u, r2, self._c(self.p_np, nb), self.pinv15)
+
+    # -- representation conversions ----------------------------------------
     @jit_method
     def to_mont(self, a_std: jax.Array) -> jax.Array:
-        """standard -> Montgomery:  a * R mod p == REDC(a * R^2)."""
-        r2 = self._c(self.r2_np, a_std.ndim - 1)
-        return lb.mont_mul(a_std, r2, self.consts(a_std), self.pinv16)
+        r2 = jnp.broadcast_to(self._c(self.r2_np, a_std.ndim - 1), a_std.shape)
+        return rl.mont_mul(a_std, r2, self.consts(a_std), self.pinv15)
 
     @jit_method
     def from_mont(self, a: jax.Array) -> jax.Array:
-        return lb.mont_from(a, self.consts(a), self.pinv16)
+        """Montgomery -> CANONICAL standard-rep limb planes (boundary op;
+        canonical so bit/digit extraction is valid)."""
+        nb = a.ndim - 1
+        t = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], I32)], 0)
+        u = rl.mont_redc_wide(t, self._c(self.p_np, nb), self.pinv15)
+        return self.norm_std(u)
 
-    # -- host encode / decode ---------------------------------------------
+    @jit_method
+    def norm_std(self, a) -> jax.Array:
+        """Canonicalize a lazy STANDARD-rep value in (-p, 3p) to [0, p)."""
+        pb = self.consts(a)
+        z = rl.full_carry(a + jnp.broadcast_to(pb, a.shape))
+        z = rl.cond_sub(z, pb)
+        z = rl.cond_sub(z, pb)
+        z = rl.cond_sub(z, pb)
+        return z
+
+    # -- host encode / decode ----------------------------------------------
     def encode(self, values: Union[int, Sequence[int]], mont: bool = True):
         """Python ints (standard rep, any residue) -> device limb planes."""
         if isinstance(values, int):
             vals: Union[int, list] = values % self.p
             if mont:
-                vals = (vals * self.params.r_mont) % self.p
+                vals = (vals * self.r_int) % self.p
         else:
             vals = [v % self.p for v in values]
             if mont:
-                vals = [(v * self.params.r_mont) % self.p for v in vals]
-        return jnp.asarray(ints_to_limbs(vals, self.L))
+                vals = [(v * self.r_int) % self.p for v in vals]
+        return jnp.asarray(ints_to_limbs15(vals, self.L))
 
     def decode(self, limbs, mont: bool = True):
-        """Device limb planes -> Python int(s) in standard rep."""
-        out = limbs_to_ints(np.asarray(limbs))
-        rinv = pow(self.params.r_mont, -1, self.p)
+        """Device limb planes (lazy ok) -> Python int(s) in standard rep.
+        Host-side exact signed summation handles redundancy for free."""
+        out = limbs15_to_ints(np.asarray(limbs))
         if isinstance(out, int):
-            return (out * rinv) % self.p if mont else out
-        return [(v * rinv) % self.p if mont else v for v in out]
+            v = out % self.p
+            return (v * self.r_int_inv) % self.p if mont else v
+        return [
+            (v % self.p * self.r_int_inv) % self.p if mont else v % self.p
+            for v in out
+        ]
 
-    # -- randomness (device) ----------------------------------------------
+    # -- reference interchange format (host) -------------------------------
+    def export_ref_mont(self, limbs) -> List[int]:
+        """Decode to the REFERENCE's Montgomery word format: value * R
+        mod p with R = 2^(64*w) as little-endian 64-bit words (the
+        interchange contract, bn128_Fr_mont.c:325-357)."""
+        vals = self.decode(limbs)
+        if isinstance(vals, int):
+            vals = [vals]
+        R = self.params.r_mont
+        out = []
+        for v in vals:
+            m = v * R % self.p
+            words = [(m >> (64 * i)) & ((1 << 64) - 1)
+                     for i in range(self.params.nlimbs // 4)]
+            out.append(words)
+        return out
+
+    def import_ref_mont(self, words_list: Sequence[Sequence[int]]):
+        R = self.params.r_mont
+        Rinv = pow(R, -1, self.p)
+        vals = []
+        for words in words_list:
+            m = 0
+            for i, w in enumerate(reversed(list(words))):
+                m = (m << 64) | w
+            vals.append(m * Rinv % self.p)
+        return self.encode(vals)
+
+    # -- randomness (device) -----------------------------------------------
     def rnd(self, key: jax.Array, batch_shape=()) -> jax.Array:
-        """Nearly-uniform random Montgomery-form elements: REDC of a
-        uniform 2L-limb integer (bias < 2^-240; mirrors the reference's
-        `rnd` API, Fr/Mont.hs:107-113)."""
+        """Nearly-uniform random Montgomery-form elements (bias < 2^-250;
+        mirrors the reference's `rnd`, Fr/Mont.hs:107-113)."""
         shape = (2 * self.L,) + tuple(batch_shape)
-        wide = jax.random.randint(key, shape, 0, 1 << 16, dtype=jnp.int32)
-        wide = wide.astype(U32)
+        wide = jax.random.randint(key, shape, 0, 1 << LB, dtype=I32)
         nb = len(batch_shape)
-        return lb.mont_redc(wide, self._c(self.p_np, nb), self.pinv16)
+        return rl.mont_redc_wide(wide, self._c(self.p_np, nb), self.pinv15)
 
-    # make hashable-by-identity for closure in jitted fns
+    def batch_shape(self, a):
+        return a.shape[1:]
+
     def __hash__(self):
         return id(self)
 

@@ -53,11 +53,16 @@ class PairingKernels:
 
         p = curve.fp.p
         t = self.tower
-        # G2-Frobenius constants gamma_x = xi^((p-1)/3), gamma_y = xi^((p-1)/2)
+        # G2-Frobenius constants: psi o frob o psi^-1 gives
+        #   x -> conj(x) * xi^(+-(p-1)/3),  y -> conj(y) * xi^(+-(p-1)/2)
+        # with + for the D-type untwist (BN, psi uses w^2) and - for the
+        # M-type untwist (BLS, psi uses w^-2) — bn128_pairing.c:49-57 vs
+        # bls12_381_pairing.c:53-60.
         xi = self.oracle.tower.fp2.xi
         o2 = self.oracle.tower.fp2
-        self.gx_const = t.encode_fp2_const(o2.pow(xi, (p - 1) // 3))
-        self.gy_const = t.encode_fp2_const(o2.pow(xi, (p - 1) // 2))
+        sign = 1 if curve.family == "bn" else -1
+        self.gx_const = t.encode_fp2_const(o2.pow(xi, sign * (p - 1) // 3))
+        self.gy_const = t.encode_fp2_const(o2.pow(xi, sign * (p - 1) // 2))
 
         # Miller loop bits of |s|, MSB-first with the leading 1 dropped
         s = curve.ate_loop_count

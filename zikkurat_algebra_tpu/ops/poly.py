@@ -20,13 +20,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import limbs as lb
 from .field import Field
 from ..utils.jit import jit_method
 from .ntt import get_domain
 from .vector import powers, dot_prod, reduce_wide, sum_mod
 
-U32 = jnp.uint32
+I32 = jnp.int32
 
 
 class PolyOps:
@@ -41,18 +40,18 @@ class PolyOps:
         """Runtime degree; degree(0) == -1 as in the reference
         (bn128_poly_mont.c `degree`)."""
         n = a.shape[-1]
-        nz = jnp.logical_not(lb.is_zero(a))          # (..., n) bools
+        nz = jnp.logical_not(self.f.is_zero(a))      # (..., n) bools
         idx = jnp.arange(n, dtype=jnp.int32)
         idx = idx.reshape((1,) * (nz.ndim - 1) + (n,))
         return jnp.max(jnp.where(nz, idx, -1), axis=-1)
 
     def is_zero(self, a) -> jax.Array:
-        return jnp.all(lb.is_zero(a), axis=-1)
+        return jnp.all(self.f.is_zero(a), axis=-1)
 
     def eq(self, a, b) -> jax.Array:
         """Size-asymmetric equality (pads the shorter)."""
         n = max(a.shape[-1], b.shape[-1])
-        return jnp.all(lb.eq(self.pad_to(a, n), self.pad_to(b, n)), axis=-1)
+        return jnp.all(self.f.eq(self.pad_to(a, n), self.pad_to(b, n)), axis=-1)
 
     def pad_to(self, a: jax.Array, n: int) -> jax.Array:
         if a.shape[-1] == n:
@@ -84,7 +83,7 @@ class PolyOps:
 
     @jit_method(static_argnums=(2,))
     def mul_by_xn(self, a, k: int):
-        pad = jnp.zeros(a.shape[:-1] + (k,), U32)
+        pad = jnp.zeros(a.shape[:-1] + (k,), I32)
         return jnp.concatenate([pad, a], axis=-1)
 
     # -- multiplication ----------------------------------------------------
@@ -97,7 +96,7 @@ class PolyOps:
         na, nb = a.shape[-1], b.shape[-1]
         nout = na + nb - 1
         out_shape = a.shape[:-1] + (nout,)
-        acc = jnp.zeros(out_shape, U32)
+        acc = jnp.zeros(out_shape, I32)
         parts = []
         for i in range(na):
             ai = a[..., i:i + 1]
@@ -108,7 +107,7 @@ class PolyOps:
             acc = acc + shifted
             if (i + 1) % 255 == 0:
                 parts.append(reduce_wide(f, acc))
-                acc = jnp.zeros(out_shape, U32)
+                acc = jnp.zeros(out_shape, I32)
         parts.append(reduce_wide(f, acc))
         total = parts[0]
         for pr in parts[1:]:
@@ -191,9 +190,9 @@ class PolyOps:
             )
             return rem, quot
 
-        quot0 = jnp.zeros(a.shape[:-1] + (nq,), U32)
+        quot0 = jnp.zeros(a.shape[:-1] + (nq,), I32)
         rem, quot = lax.fori_loop(0, nq, body, (rem0, quot0))
-        return quot, rem[..., :db] if db > 0 else jnp.zeros(a.shape[:-1] + (0,), U32)
+        return quot, rem[..., :db] if db > 0 else jnp.zeros(a.shape[:-1] + (0,), I32)
 
     @jit_method(static_argnums=(2,))
     def div_by_vanishing(self, a: jax.Array, n: int, eta: jax.Array
@@ -204,7 +203,7 @@ class PolyOps:
         f = self.f
         na = a.shape[-1]
         if na <= n:
-            return jnp.zeros(a.shape[:-1] + (0,), U32), self.pad_to(a, n)
+            return jnp.zeros(a.shape[:-1] + (0,), I32), self.pad_to(a, n)
         k = -(-na // n)                    # number of blocks
         ap = self.pad_to(a, k * n)
         blocks = ap.reshape(a.shape[:-1] + (k, n))       # little-endian blocks
@@ -239,5 +238,5 @@ class PolyOps:
         """Quotient by (x^n - eta) plus exactness flag (cf.
         `quot_by_vanishing`, bn128_poly_mont.c:402-413)."""
         q, r = self.div_by_vanishing(a, n, eta)
-        ok = jnp.all(lb.is_zero(r), axis=-1)
+        ok = jnp.all(self.f.is_zero(r), axis=-1)
         return q, ok

@@ -1,28 +1,29 @@
-"""Extension-field towers Fp2 / Fp6 / Fp12 on limb planes.
+"""Extension-field towers Fp2 / Fp6 / Fp12 on redundant limb planes.
 
 TPU analog of the reference's generated tower kernels
 (lib/cbits/curves/fields/mont/*_Fp{2,6,12}_mont.c): Karatsuba mul/sqr,
 closed-form inverses, Frobenius via precomputed gamma tables.
 
-Element layout — the LIMB axis stays leading (so carry scans and all
-base-field kernels apply unchanged), extension components are extra
-batch-like axes right after it, outermost extension first:
+Element layout — the LIMB axis stays leading, extension components are
+extra batch-like axes right after it, outermost extension first:
 
     Fp   : (L, *batch)
     Fp2  : (L, 2, *batch)              u^2 = -1
     Fp6  : (L, 3, 2, *batch)           v^3 = xi
     Fp12 : (L, 2, 3, 2, *batch)        w^2 = v
 
-Each level's own component axis is axis 1 of its element view, so
-``a[:, i]`` is the i-th coefficient (an element of the level below).
-Add/sub/neg need no per-component code at all — the base field treats
-component axes as batch.  Coefficient order matches the oracle's
-``coeffs()`` (little-endian in the tower / reference `packPrimeBase`).
+KEY DESIGN: every level exposes `mul_list([(a, b), ...])` which expands
+its Karatsuba tree one level down and recurses, so ALL base-field
+multiplications of an arbitrary batch of tower products land in ONE CIOS
+scan (`Field.mul_many`).  An Fp12 multiplication is 54 base products —
+one kernel instead of 54 (compile time) and a 54x wider batch (runtime).
+Additions are carry-free (ops/limbs15.py), xi-multiplication is a
+small-integer limb scaling, so a full tower op contains exactly one scan.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +31,8 @@ from jax import lax
 
 from ..params import CurveParams
 from ..utils.convert import int_to_bits
-from .field import Field, get_field
 from ..utils.jit import jit_method
+from .field import Field, get_field
 
 U32 = jnp.uint32
 
@@ -39,13 +40,12 @@ U32 = jnp.uint32
 class _FieldOps:
     """Shared generic machinery (pow, select, div) for tower levels."""
 
-    struct_ndim: int = 1  # leading non-batch axes (L + extension axes)
+    struct_ndim: int = 1
 
     def batch_shape(self, a) -> tuple:
         return a.shape[self.struct_ndim:]
 
     def select(self, pred, a, b):
-        """Branch-free: pred (*batch,) ? a : b."""
         idx = (None,) * self.struct_ndim
         return jnp.where(pred[idx], a, b)
 
@@ -57,8 +57,9 @@ class _FieldOps:
 
         def body(carry, bit):
             acc, base = carry
-            acc2 = self.select(bit == 1, self.mul(acc, base), acc)
-            return (acc2, self.sqr(base)), None
+            prods = self.mul_list([(acc, base), (base, base)])
+            acc2 = self.select(bit == 1, prods[0], acc)
+            return (acc2, prods[1]), None
 
         (acc, _), _ = lax.scan(body, (one, a), jnp.asarray(bits, U32))
         return acc
@@ -69,6 +70,12 @@ class _FieldOps:
         if e == 0:
             return self.one(self.batch_shape(a))
         return self.pow_bits(a, jnp.asarray(int_to_bits(e)))
+
+    def mul(self, a, b):
+        return self.mul_list([(a, b)])[0]
+
+    def sqr(self, a):
+        return self.mul_list([(a, a)])[0]
 
     def __hash__(self):
         return id(self)
@@ -102,7 +109,7 @@ class _Ext(_FieldOps):
         z = jnp.zeros_like(a)
         return self.stack([a] + [z] * (self.deg - 1))
 
-    # componentwise ops: base field treats the component axis as batch
+    # componentwise carry-free ops (component axes are just batch)
     def add(self, a, b):
         return self.base.add(a, b)
 
@@ -113,10 +120,16 @@ class _Ext(_FieldOps):
         return self.base.neg(a)
 
     def scale_base(self, k, a):
-        """Multiply every coefficient by base element k (*batch shapes)."""
-        return self.stack(
-            [self.base.mul(k, self.comp(a, i)) for i in range(self.deg)]
+        """Multiply every coefficient by base element k — batched into
+        one kernel via mul_list."""
+        prods = self.base.mul_list(
+            [(k, self.comp(a, i)) for i in range(self.deg)]
         )
+        return self.stack(prods)
+
+    def scale_small(self, a, k: int):
+        """Small-integer scaling — carry-free, componentwise."""
+        return self.base.scale_small(a, k)
 
     def is_zero(self, a):
         out = self.base.is_zero(self.comp(a, 0))
@@ -127,15 +140,17 @@ class _Ext(_FieldOps):
     def eq(self, a, b):
         out = self.base.eq(self.comp(a, 0), self.comp(b, 0))
         for i in range(1, self.deg):
-            out = jnp.logical_and(out, self.base.eq(self.comp(a, i), self.comp(b, i)))
+            out = jnp.logical_and(
+                out, self.base.eq(self.comp(a, i), self.comp(b, i))
+            )
         return out
 
 
 class QuadExt(_Ext):
-    """base[u]/(u^2 - nr); `mul_nr` multiplies a base element by nr.
+    """base[u]/(u^2 - nr); `mul_nr` multiplies a base element by nr
+    (carry-free: neg for Fp2, mul_by_v for Fp12).
 
-    cf. *_Fp2_mont.c:183-237 (Karatsuba 3-mul, specialized inverse) and
-    *_Fp12_mont.c:195-254 (same shape over Fp6 with nr = v)."""
+    cf. *_Fp2_mont.c:183-237 and *_Fp12_mont.c:195-254."""
 
     deg = 2
 
@@ -143,30 +158,22 @@ class QuadExt(_Ext):
         super().__init__(base, name)
         self.mul_nr = mul_nr
 
-    @jit_method
-    def mul(self, a, b):
+    def mul_list(self, pairs):
         f = self.base
-        a0, a1 = a[:, 0], a[:, 1]
-        b0, b1 = b[:, 0], b[:, 1]
-        t0 = f.mul(a0, b0)
-        t1 = f.mul(a1, b1)
-        t2 = f.mul(f.add(a0, a1), f.add(b0, b1))
-        c0 = f.add(t0, self.mul_nr(t1))
-        c1 = f.sub(f.sub(t2, t0), t1)
-        return self.stack([c0, c1])
+        base_pairs = []
+        for a, b in pairs:
+            a0, a1 = a[:, 0], a[:, 1]
+            b0, b1 = b[:, 0], b[:, 1]
+            base_pairs += [(a0, b0), (a1, b1), (f.add(a0, a1), f.add(b0, b1))]
+        prods = f.mul_list(base_pairs)
+        out = []
+        for i in range(len(pairs)):
+            t0, t1, t2 = prods[3 * i:3 * i + 3]
+            c0 = f.add(t0, self.mul_nr(t1))
+            c1 = f.sub(f.sub(t2, t0), t1)
+            out.append(self.stack([c0, c1]))
+        return out
 
-    @jit_method
-    def sqr(self, a):
-        f = self.base
-        a0, a1 = a[:, 0], a[:, 1]
-        t0 = f.sqr(a0)
-        t1 = f.sqr(a1)
-        t2 = f.sqr(f.add(a0, a1))
-        c0 = f.add(t0, self.mul_nr(t1))
-        c1 = f.sub(f.sub(t2, t0), t1)
-        return self.stack([c0, c1])
-
-    @jit_method
     def conj(self, a):
         return self.stack([a[:, 0], self.base.neg(a[:, 1])])
 
@@ -175,15 +182,17 @@ class QuadExt(_Ext):
         # (a0 - a1 u) / (a0^2 - nr a1^2); inv(0) == 0
         f = self.base
         a0, a1 = a[:, 0], a[:, 1]
-        d = f.sub(f.sqr(a0), self.mul_nr(f.sqr(a1)))
+        s0, s1 = f.mul_list([(a0, a0), (a1, a1)])
+        d = f.sub(s0, self.mul_nr(s1))
         dinv = f.inv(d)
-        return self.stack([f.mul(a0, dinv), f.neg(f.mul(a1, dinv))])
+        q0, q1 = f.mul_list([(a0, dinv), (a1, dinv)])
+        return self.stack([q0, f.neg(q1)])
 
 
 class CubicExt(_Ext):
-    """base[v]/(v^3 - xi).
+    """base[v]/(v^3 - xi);  `mul_xi` is carry-free (small-int scaling).
 
-    cf. *_Fp6_mont.c:197-295 (6-mul Karatsuba, closed-form inverse)."""
+    cf. *_Fp6_mont.c:197-295."""
 
     deg = 3
 
@@ -191,29 +200,30 @@ class CubicExt(_Ext):
         super().__init__(base, name)
         self.mul_xi = mul_xi
 
-    @jit_method
-    def mul(self, a, b):
+    def mul_list(self, pairs):
         f = self.base
-        a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
-        b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
-        m0 = f.mul(a0, b0)
-        m1 = f.mul(a1, b1)
-        m2 = f.mul(a2, b2)
-        s12 = f.mul(f.add(a1, a2), f.add(b1, b2))
-        s01 = f.mul(f.add(a0, a1), f.add(b0, b1))
-        s02 = f.mul(f.add(a0, a2), f.add(b0, b2))
-        c0 = f.add(m0, self.mul_xi(f.sub(f.sub(s12, m1), m2)))
-        c1 = f.add(f.sub(f.sub(s01, m0), m1), self.mul_xi(m2))
-        c2 = f.add(f.sub(f.sub(s02, m0), m2), m1)
-        return self.stack([c0, c1, c2])
+        base_pairs = []
+        for a, b in pairs:
+            a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+            b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+            base_pairs += [
+                (a0, b0), (a1, b1), (a2, b2),
+                (f.add(a1, a2), f.add(b1, b2)),
+                (f.add(a0, a1), f.add(b0, b1)),
+                (f.add(a0, a2), f.add(b0, b2)),
+            ]
+        prods = f.mul_list(base_pairs)
+        out = []
+        for i in range(len(pairs)):
+            m0, m1, m2, s12, s01, s02 = prods[6 * i:6 * i + 6]
+            c0 = f.add(m0, self.mul_xi(f.sub(f.sub(s12, m1), m2)))
+            c1 = f.add(f.sub(f.sub(s01, m0), m1), self.mul_xi(m2))
+            c2 = f.add(f.sub(f.sub(s02, m0), m2), m1)
+            out.append(self.stack([c0, c1, c2]))
+        return out
 
-    @jit_method
-    def sqr(self, a):
-        return self.mul(a, a)
-
-    @jit_method
     def mul_by_v(self, a):
-        """(a0, a1, a2) -> (xi*a2, a0, a1)."""
+        """(a0, a1, a2) -> (xi*a2, a0, a1) — carry-free."""
         return self.stack([self.mul_xi(a[:, 2]), a[:, 0], a[:, 1]])
 
     @jit_method
@@ -221,15 +231,17 @@ class CubicExt(_Ext):
         # closed form, cf. bls12_381_Fp6_mont.c:265-295
         f = self.base
         a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
-        t0 = f.sub(f.sqr(a0), self.mul_xi(f.mul(a1, a2)))
-        t1 = f.sub(self.mul_xi(f.sqr(a2)), f.mul(a0, a1))
-        t2 = f.sub(f.sqr(a1), f.mul(a0, a2))
-        d = f.add(
-            f.mul(a0, t0),
-            self.mul_xi(f.add(f.mul(a2, t1), f.mul(a1, t2))),
-        )
+        p0, p1, p2, q12, q01, q02 = f.mul_list([
+            (a0, a0), (a1, a1), (a2, a2), (a1, a2), (a0, a1), (a0, a2),
+        ])
+        t0 = f.sub(p0, self.mul_xi(q12))
+        t1 = f.sub(self.mul_xi(p2), q01)
+        t2 = f.sub(p1, q02)
+        u0, u1, u2 = f.mul_list([(a0, t0), (a2, t1), (a1, t2)])
+        d = f.add(u0, self.mul_xi(f.add(u1, u2)))
         dinv = f.inv(d)
-        return self.stack([f.mul(t0, dinv), f.mul(t1, dinv), f.mul(t2, dinv)])
+        r = f.mul_list([(t0, dinv), (t1, dinv), (t2, dinv)])
+        return self.stack(r)
 
 
 class TowerKernels:
@@ -249,14 +261,17 @@ class TowerKernels:
         self.fr: Field = get_field(curve.fr)
 
         self.fp2 = QuadExt(self.fp, self.fp.neg, name="Fp2")
-        self.xi_mont = self.encode_fp2_const(self.oracle.fp2.xi)  # (L, 2)
+
+        xi0, xi1 = curve.tower.xi0, curve.tower.xi1
 
         def mul_xi(a_fp2):
-            xib = jnp.reshape(
-                self.xi_mont,
-                self.xi_mont.shape + (1,) * (a_fp2.ndim - self.xi_mont.ndim),
-            )
-            return self.fp2.mul(a_fp2, jnp.broadcast_to(xib, a_fp2.shape))
+            """(a0 + a1 u)(xi0 + xi1 u) = (xi0 a0 - xi1 a1) + (xi1 a0 + xi0 a1)u
+            — small-int limb scalings, carry-free (xi in {9+u, 1+u})."""
+            fp = self.fp
+            a0, a1 = a_fp2[:, 0], a_fp2[:, 1]
+            c0 = fp.sub(fp.scale_small(a0, xi0), fp.scale_small(a1, xi1))
+            c1 = fp.add(fp.scale_small(a0, xi1), fp.scale_small(a1, xi0))
+            return jnp.stack([c0, c1], 1)
 
         self.mul_xi = mul_xi
         self.fp6 = CubicExt(self.fp2, mul_xi, name="Fp6")
@@ -268,11 +283,9 @@ class TowerKernels:
 
     # -- constant encoders --------------------------------------------------
     def encode_fp2_const(self, c) -> jax.Array:
-        """(c0, c1) ints -> (L, 2) Montgomery device constant."""
         return jnp.stack([self.fp.encode(c[0]), self.fp.encode(c[1])], 1)
 
     def encode_fp2(self, cs: Sequence) -> jax.Array:
-        """list of oracle Fp2 elements -> (L, 2, N)."""
         c0 = self.fp.encode([c[0] for c in cs])
         c1 = self.fp.encode([c[1] for c in cs])
         return jnp.stack([c0, c1], 1)
@@ -308,29 +321,27 @@ class TowerKernels:
 
     # -- Fp12 Frobenius -----------------------------------------------------
     def fp12_frobenius(self, a, k: int = 1):
-        """x -> x^(p^k) via W-coefficient gamma multiplication
-        (bit-exact vs oracle Fp12Field._frob1)."""
         for _ in range(k % 12):
             a = self._frob1(a)
         return a
 
     @jit_method
     def _frob1(self, a):
+        """x -> x^p via W-coefficient conj + gamma multiplication (ONE
+        batched mul for all six coefficients)."""
         f2 = self.fp2
-        # x = A0 + B0 w + A1 w^2 + B1 w^3 + A2 w^4 + B2 w^5, c_i in Fp2
         cs = [a[:, 0, 0], a[:, 1, 0], a[:, 0, 1], a[:, 1, 1], a[:, 0, 2], a[:, 1, 2]]
-        nb = a.ndim - 4  # batch rank
-        out = []
+        nb = a.ndim - 4
+        pairs = []
         for c, g in zip(cs, self._gammas_dev):
-            gb = jnp.reshape(g, g.shape + (1,) * nb)
-            out.append(f2.mul(f2.conj(c), jnp.broadcast_to(gb, c.shape)))
+            gb = jnp.broadcast_to(jnp.reshape(g, g.shape + (1,) * nb), c.shape)
+            pairs.append((f2.conj(c), gb))
+        out = f2.mul_list(pairs)
         fp6_a = jnp.stack([out[0], out[2], out[4]], 1)
         fp6_b = jnp.stack([out[1], out[3], out[5]], 1)
         return jnp.stack([fp6_a, fp6_b], 1)
 
-    @jit_method
     def fp12_conj(self, a):
-        """x^(p^6): cheap inverse for cyclotomic-subgroup elements."""
         return jnp.stack([a[:, 0], self.fp6.neg(a[:, 1])], 1)
 
     def __hash__(self):

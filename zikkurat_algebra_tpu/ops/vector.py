@@ -7,10 +7,10 @@ pointwise neg/add/sub/sqr/mul/inv/div need no code here — the Field/tower
 kernels are batch-first already, so `field.mul(a, b)` on (L, N) IS the
 pointwise array op.
 
-The interesting parts are the reductions: dot products use lazy uint32
-column accumulation in chunks (sums of < 2^8 normalized field elements
-stay < 2^24 per column) with one Montgomery wide-reduction per chunk —
-a log-depth replacement for the reference's serial loops."""
+Reductions exploit the redundant representation: chunked lazy int32
+column sums (|cols| < 2^23 for 256-element chunks) with one Montgomery
+wide reduction per chunk — a log-depth replacement for the reference's
+serial loops."""
 
 from __future__ import annotations
 
@@ -18,29 +18,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import limbs as lb
 from .field import Field
 
-U32 = jnp.uint32
+I32 = jnp.int32
 
-_CHUNK = 256  # lazy-sum chunk: 256 * (2^16-1) < 2^24 per column, no overflow
+_CHUNK = 256  # 256 * (2^15 + 8) < 2^24 per column — no int32 overflow
 
 
 def reduce_wide(f: Field, v: jax.Array) -> jax.Array:
-    """Reduce lazy columns (L, *batch), each < 2^24, to a field element
-    < p: REDC of the zero-padded value then multiply back by R^2."""
-    wide = jnp.concatenate([v, jnp.zeros_like(v)], 0)
-    nb = v.ndim - 1
-    t = lb.mont_redc(wide, f._c(f.p_np, nb), f.pinv16)      # v * R^-1
-    r2 = f._c(f.r2_np, nb)
-    return lb.mont_mul(t, r2, f._c(f.p_np, nb), f.pinv16)   # v mod p
+    """Reduce lazy columns (L, *batch), |cols| < 2^26, to a field element."""
+    return f.reduce_wide(v)
 
 
 def sum_mod(f: Field, a: jax.Array, axis: int = -1) -> jax.Array:
-    """Modular sum of field elements along a batch axis.
-
-    a: (L, *batch); `axis` indexes into *batch (negative ok).  Chunked
-    lazy uint32 sums + Montgomery wide reduction; log-depth overall."""
+    """Modular sum of field elements along a batch axis (chunked lazy
+    int32 sums + Montgomery wide reduction; log-depth)."""
     if axis < 0:
         axis = a.ndim + axis
     assert axis >= 1, "axis 0 is the limb axis"
@@ -52,8 +44,8 @@ def sum_mod(f: Field, a: jax.Array, axis: int = -1) -> jax.Array:
         if pad:
             a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
         a = a.reshape(a.shape[:-1] + ((n + pad) // c, c))
-        lazy = jnp.sum(a, axis=-1, dtype=U32)
-        a = reduce_wide(f, lazy)
+        lazy = jnp.sum(a, axis=-1, dtype=I32)
+        a = f.reduce_wide(lazy)
     return a[..., 0]
 
 
@@ -77,10 +69,11 @@ def ax_plus_y(f: Field, a, x, y):
 
 
 def ax_plus_by(f: Field, a, x, b, y):
-    return f.add(
-        f.mul(jnp.broadcast_to(a, x.shape), x),
-        f.mul(jnp.broadcast_to(b, y.shape), y),
-    )
+    px, py = f.mul_list([
+        (jnp.broadcast_to(a, x.shape), x),
+        (jnp.broadcast_to(b, y.shape), y),
+    ])
+    return f.add(px, py)
 
 
 def scale(f: Field, s, a):
@@ -90,9 +83,9 @@ def scale(f: Field, s, a):
 
 
 def powers(f: Field, a: jax.Array, b: jax.Array, n: int) -> jax.Array:
-    """Geometric series [a, a*b, a*b^2, ..., a*b^(n-1)] -> (L, n)
-    (cf. arr_mont `powers`, bn128_arr_mont.c:187).  a, b: (L,) single
-    elements.  Log-depth prefix product."""
+    """Geometric series [a, a*b, ..., a*b^(n-1)] -> (L, n)
+    (cf. arr_mont `powers`, bn128_arr_mont.c:187).  Log-depth prefix
+    product."""
     elems = jnp.concatenate(
         [a[:, None], jnp.broadcast_to(b[:, None], (f.L, n - 1))], 1
     )

@@ -86,16 +86,22 @@ class ShardedNTT:
         ntt1 = dom1.intt if inverse else dom1.ntt
         ntt2 = dom2.intt if inverse else dom2.ntt
 
+        # NOTE all_to_all(tiled=False) semantics: the split axis (size =
+        # device count) is REMOVED and the received shards appear as a NEW
+        # source-major axis at position concat_axis.
+
         def to_cols(A):
             """(L, n1/D, n2) -> (L, n1, n2/D) via all_to_all."""
             A = A.reshape(L, A.shape[1], nd, n2 // nd)
+            # -> (L, src=nd, n1/D, n2/D); flatten (src, n1/D) = global n1
             A = lax.all_to_all(A, DATA_AXIS, split_axis=2, concat_axis=1)
             return A.reshape(L, n1, n2 // nd)
 
         def to_rows(B):
             """(L, n1, n2/D) -> (L, n1/D, n2) via all_to_all."""
             B = B.reshape(L, nd, n1 // nd, n2 // nd)
-            B = lax.all_to_all(B, DATA_AXIS, split_axis=1, concat_axis=3)
+            # -> (L, n1/D, src=nd, n2/D); flatten (src, n2/D) = global n2
+            B = lax.all_to_all(B, DATA_AXIS, split_axis=1, concat_axis=2)
             return B.reshape(L, n1 // nd, n2)
 
         @partial(
