@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--check", type=int, default=0,
                     help="cross-check a 2^check-point prefix vs the oracle")
+    ap.add_argument("--workload", default="msm",
+                    choices=["msm", "ntt", "fieldmul"],
+                    help="which BASELINE workload to time")
     args = ap.parse_args()
 
     if args.smoke:
@@ -50,6 +53,11 @@ def main():
     from zikkurat_algebra_tpu import params as P
     from zikkurat_algebra_tpu.ops.curve import get_curves
     from zikkurat_algebra_tpu.ops.field import ints_to_limbs15
+
+    if args.workload == "ntt":
+        return bench_ntt(args, jax)
+    if args.workload == "fieldmul":
+        return bench_fieldmul(args, jax)
 
     curve = P.CURVES[args.curve]
     ck = get_curves(curve)
@@ -99,19 +107,28 @@ def main():
         got = ck.decode_g1(ck.g1.to_affine(got_pt))
         assert got == want, "MSM cross-check vs oracle FAILED"
 
+    def fetch(r):
+        # force completion with a HOST transfer: through the axon tunnel,
+        # block_until_ready alone does not reliably block on execution
+        return [np.asarray(x) for x in r]
+
     # compile
     t0 = time.time()
     res = msm.msm_std(k_limbs, pts)
-    jax.block_until_ready(res)
+    fetch(res)
     compile_and_first_s = time.time() - t0
 
-    # timed runs
+    # timed runs (vary the scalars per iter so no caching layer can elide
+    # the work; rotation keeps the set of digits identical in aggregate)
     iters = 3 if args.n >= 18 else 5
     t0 = time.time()
-    for _ in range(iters):
-        res = msm.msm_std(k_limbs, pts)
-        jax.block_until_ready(res)
+    outs = []
+    for i in range(iters):
+        kl = jnp.roll(k_limbs, i + 1, axis=-1)
+        res = msm.msm_std(kl, pts)
+        outs.append(fetch(res))
     per_run = (time.time() - t0) / iters
+    del outs
     pps = n / per_run
 
     baseline_pps = _cpp_baseline_pps(args)
@@ -128,6 +145,81 @@ def main():
         f"run={per_run * 1e3:.1f}ms",
         file=sys.stderr,
     )
+
+
+def bench_ntt(args, jax):
+    """Fr NTT of size 2^n (BASELINE config 2; reference has no measured
+    number — vs_baseline reports speedup over this host's single-core
+    python-int oracle is meaningless, so 0.0 until the cpp NTT exists)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.field import get_field
+    from zikkurat_algebra_tpu.ops.ntt import get_domain
+
+    curve = P.CURVES[args.curve]
+    f = get_field(curve.fr)
+    dom = get_domain(f, args.n)
+    key = jax.random.PRNGKey(0)
+    x = f.rnd(key, (dom.n,))
+
+    def fetch(r):
+        np.asarray(r.reshape(-1)[:4])
+
+    t0 = time.time()
+    y = dom.ntt(x)
+    fetch(y)
+    first = time.time() - t0
+    iters = 5
+    t0 = time.time()
+    for i in range(iters):
+        y = dom.ntt(jnp.roll(x, i + 1, axis=-1))
+        fetch(y)
+    per = (time.time() - t0) / iters
+    out = {
+        "metric": f"{args.curve.lower().replace('-', '_')}_fr_ntt_2e{args.n}_seconds",
+        "value": round(per, 5),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }
+    print(json.dumps(out))
+    print(f"# first={first:.1f}s per={per*1e3:.1f}ms backend={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
+def bench_fieldmul(args, jax):
+    """Field muls/sec/chip (BASELINE metric 3) on Fr of the chosen curve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.field import get_field
+
+    curve = P.CURVES[args.curve]
+    f = get_field(curve.fr)
+    n = 1 << args.n
+    a = f.rnd(jax.random.PRNGKey(0), (n,))
+    b = f.rnd(jax.random.PRNGKey(1), (n,))
+
+    def fetch(r):
+        np.asarray(r.reshape(-1)[:4])
+
+    c = f.mul(a, b)
+    fetch(c)
+    iters = 30
+    t0 = time.time()
+    for _ in range(iters):
+        c = f.mul(c, b)   # serialized dependency chain
+    fetch(c)
+    per = (time.time() - t0) / iters
+    out = {
+        "metric": f"{args.curve.lower().replace('-', '_')}_fr_mul_per_sec",
+        "value": round(n / per, 1),
+        "unit": "muls/s",
+        "vs_baseline": 0.0,
+    }
+    print(json.dumps(out))
+    print(f"# batch=2^{args.n} per={per*1e6:.0f}us backend={jax.devices()[0].platform}",
+          file=sys.stderr)
 
 
 def _cpp_baseline_pps(args):

@@ -138,3 +138,21 @@ def test_limbs_to_bits(rng, ck):
     for j, v in enumerate(vals):
         got = sum(int(bits[i, j]) << i for i in range(bits.shape[0]))
         assert got == v
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_subgroup_and_cofactor(rng, ck, grp):
+    """is_in_subgroup + clear_cofactor (bn128_G1_affine.c:113-130)."""
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+    ops = getattr(ck, grp)
+    enc = getattr(ck, f"encode_{grp}")
+    pts = [og.rnd(rng) for _ in range(3)]
+    A = ops.from_affine(enc(pts))
+    assert all(np.asarray(ops.is_in_subgroup(A)))
+    # a point with corrupted y is off-curve -> not in subgroup
+    x, y, inf = enc(pts)
+    bad = ops.from_affine((x, ops.f.add(y, ops.f.one(y.shape[ops.f.struct_ndim:])), inf))
+    assert not any(np.asarray(ops.is_in_subgroup(bad)))
+    # cofactor-cleared points land in the subgroup (G1 cofactor may be 1)
+    C = ops.clear_cofactor(A)
+    assert all(np.asarray(ops.is_in_subgroup(C)))

@@ -146,3 +146,16 @@ def test_jit_composition(rng, fld):
     assert got == [
         o.sub(o.sqr(x), o.sqr(y)) for x, y in zip(av, bv)
     ]
+
+
+def test_std_rep_ops(rng, fld):
+    """Standard-representation ops (C3 parity: curves/fields/std)."""
+    f, o = fld
+    av, bv = sample(rng, o, 8), sample(rng, o, 8)
+    a = f.encode(av, mont=False)
+    b = f.encode(bv, mont=False)
+    assert f.decode(f.std_mul(a, b), mont=False) == [
+        o.mul(x, y) for x, y in zip(av, bv)
+    ]
+    assert f.decode(f.std_inv(a), mont=False) == [o.inv(x) for x in av]
+    assert f.decode(f.std_pow(a, 5), mont=False) == [o.pow(x, 5) for x in av]

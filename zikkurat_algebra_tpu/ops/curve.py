@@ -220,6 +220,22 @@ class ProjCurveOps:
             return self.neg(self.scalar_mul_static(-k, P))
         return self.scalar_mul_bits(jnp.asarray(int_to_bits(k)), P)
 
+    # -- subgroup machinery (cf. is_in_subgroup / cofactor muls,
+    #    bn128_G1_affine.c:113-130, bls12_381_G2_proj.c:198-207) ----------
+    def set_subgroup_params(self, order: int, cofactor: int):
+        self._order = order
+        self._cofactor = cofactor
+
+    def is_in_subgroup(self, P: Point) -> jax.Array:
+        """on-curve AND r*P == infinity (branch-free)."""
+        rP = self.scalar_mul_static(self._order, P)
+        return jnp.logical_and(self.is_on_curve(P), self.is_inf(rP))
+
+    def clear_cofactor(self, P: Point) -> Point:
+        """Multiply by the cofactor, mapping any curve point into the
+        prime-order subgroup."""
+        return self.scalar_mul_static(self._cofactor, P)
+
     @jit_method
     def scalar_mul_fr_std(self, k_limbs: jax.Array, P: Point) -> Point:
         """[k] P with k a CANONICAL standard-rep scalar limb plane
@@ -261,12 +277,14 @@ class CurveKernels:
         r_bits = curve.fr.p.bit_length()
 
         self.g1 = ProjCurveOps(fp, 3 * curve.b, r_bits, name=f"{curve.name}/G1")
+        self.g1.set_subgroup_params(curve.fr.p, curve.cofactor)
 
         b2 = self.oracle_g2.b
         b3_g2 = self.tower.encode_fp2_const(
             (3 * b2[0] % curve.fp.p, 3 * b2[1] % curve.fp.p)
         )
         self.g2 = ProjCurveOps(fp2, b3_g2, r_bits, name=f"{curve.name}/G2")
+        self.g2.set_subgroup_params(curve.fr.p, curve.g2_cofactor)
 
         self.fr = self.tower.fr
         self._msm = {}

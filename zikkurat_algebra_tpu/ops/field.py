@@ -267,6 +267,22 @@ class Field:
         z = rl.cond_sub(z, pb)
         return z
 
+    # -- standard-representation ops (C3 parity: curves/fields/std) --------
+    @jit_method
+    def std_mul(self, a_std, b_std):
+        """(a*b) mod p on standard-rep planes: REDC twice, no conversion
+        round-trip (cf. std `mul` = bigint mul + reduce, bn128_Fr_std.c)."""
+        t = rl.mont_mul(a_std, b_std, self.consts(a_std), self.pinv15)
+        r2 = jnp.broadcast_to(self._c(self.r2_np, a_std.ndim - 1), t.shape)
+        return rl.mont_mul(t, r2, self.consts(a_std), self.pinv15)
+
+    @jit_method
+    def std_inv(self, a_std):
+        return self.from_mont(self.inv(self.to_mont(a_std)))
+
+    def std_pow(self, a_std, e: int):
+        return self.from_mont(self.pow_static(self.to_mont(a_std), e))
+
     # -- host encode / decode ----------------------------------------------
     def encode(self, values: Union[int, Sequence[int]], mont: bool = True):
         """Python ints (standard rep, any residue) -> device limb planes."""

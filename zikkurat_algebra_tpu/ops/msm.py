@@ -7,14 +7,15 @@ The reference's hot loop is a data-dependent scatter (`bucket[e] += point`)
 — impossible to vectorize directly.  TPU-native reformulation
 (SURVEY.md §7.2 hard part 2/3):
 
-  per window:  digit extraction  ->  argsort points by digit
-            -> SEGMENTED associative scan with the complete group law
-               (log-depth, ~2N group adds)
-            -> segment tails scattered into the bucket array
-            -> weighted bucket sum  sum_b b*S_b  via a suffix
-               associative scan + tree reduction (log-depth replacement
-               for the serial running sums, jac.c:620-631)
-  windows combined by Horner: res = 2^c * res + W_w  (c doublings).
+  per window-chunk (several windows batched on one axis):
+      digit extraction -> argsort points by digit (per window)
+   -> SEGMENTED associative scan with the complete group law
+      (log-depth, ~2N group adds, all windows of the chunk in parallel)
+   -> segment tails scattered into per-window bucket arrays
+   -> weighted bucket sum  sum_b b*S_b  via a suffix associative scan +
+      tree reduction (log-depth replacement for the serial running sums,
+      jac.c:620-631)
+  window results combined by Horner: res = 2^c * res + W_w.
 
 Every group operation is the branch-free complete projective formula, so
 infinities and duplicate points need no special-casing anywhere.
@@ -45,10 +46,10 @@ def window_size(n: int) -> int:
 
 
 def digits_from_limbs(k_limbs: jax.Array, c: int, nbits: int) -> jax.Array:
-    """Standard-rep scalar limb planes (Lr, N) -> per-window c-bit digits
-    (windows, N) int32.  (cf. digit extraction straddling word boundaries,
-    bn128_G1_jac.c:600-605 — here just a bit-plane matmul-free rebuild)."""
-    bits = limbs_to_bits(k_limbs)             # (16*Lr, N)
+    """CANONICAL standard-rep scalar limb planes (Lr, N) -> per-window
+    c-bit digits (windows, N) int32 (cf. digit extraction straddling word
+    boundaries, bn128_G1_jac.c:600-605)."""
+    bits = limbs_to_bits(k_limbs)             # (15*Lr, N)
     windows = -(-nbits // c)
     need = windows * c
     have = bits.shape[0]
@@ -63,8 +64,8 @@ def digits_from_limbs(k_limbs: jax.Array, c: int, nbits: int) -> jax.Array:
 
 
 def _tree_reduce(ops: ProjCurveOps, P: Point) -> Point:
-    """Sum a batch of points (batch axis = last) to a single point by
-    repeated halving (log depth)."""
+    """Sum points along the LAST axis by repeated halving (log depth);
+    leading batch axes are preserved."""
     def n_of(P):
         return P[0].shape[-1]
 
@@ -85,29 +86,27 @@ def _tree_reduce(ops: ProjCurveOps, P: Point) -> Point:
 
 def _segment_scan_tails(ops: ProjCurveOps, P: Point, seg_id: jax.Array
                         ) -> Tuple[Point, jax.Array]:
-    """Inclusive segmented scan of points grouped by sorted seg_id.
-
-    Returns (scanned points, tail mask) where tail positions hold each
-    segment's full sum."""
+    """Inclusive segmented scan of points along the last axis, grouped by
+    sorted seg_id (*batch, N).  Tail positions hold each segment's sum."""
     n = seg_id.shape[-1]
-    # flags get leading singleton axes so every scan leaf has the same rank
-    # (associative_scan canonicalizes `axis` against leaf ranks)
     rank = P[0].ndim
+    ones = jnp.ones(seg_id.shape[:-1] + (1,), jnp.bool_)
     first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), seg_id[1:] != seg_id[:-1]]
-    ).reshape((1,) * (rank - 1) + (n,))
+        [ones, seg_id[..., 1:] != seg_id[..., :-1]], axis=-1
+    ).reshape((1,) * (rank - seg_id.ndim) + seg_id.shape)
 
     def combine(a, b):
         (pa, fa) = a
         (pb, fb) = b
         summed = ops.add(pa, pb)
-        pred = fb.reshape(fb.shape[-1:])
+        pred = fb.reshape(fb.shape[len(fb.shape) - seg_id.ndim:])
         pt = ops.select(pred, pb, summed)
         return (pt, jnp.logical_or(fa, fb))
 
-    scanned, _ = lax.associative_scan(combine, (P, first), axis=-1)
+    scanned, _ = lax.associative_scan(combine, (P, first), axis=rank - 1)
     tail = jnp.concatenate(
-        [seg_id[1:] != seg_id[:-1], jnp.ones((1,), jnp.bool_)]
+        [seg_id[..., 1:] != seg_id[..., :-1],
+         jnp.ones(seg_id.shape[:-1] + (1,), jnp.bool_)], axis=-1
     )
     return scanned, tail
 
@@ -119,52 +118,77 @@ class MSM:
         self.ops = ops
         self.nbits = nbits
 
-    @jit_method(static_argnums=(3,))
+    @jit_method(static_argnums=(3, 4))
     def msm_std(self, k_limbs: jax.Array, points: AffBatch,
-                c: Optional[int] = None) -> Point:
-        """MSM with standard-rep scalar limb planes (Lr, N) and affine
-        points; returns one projective point.
-        (cf. MSM_std_coeff_proj_out, bn128_G1_proj.h:43-49)"""
+                c: Optional[int] = None,
+                window_chunk: Optional[int] = None) -> Point:
+        """MSM with CANONICAL standard-rep scalar limb planes (Lr, N) and
+        affine points; returns one projective point.
+        (cf. MSM_std_coeff_proj_out, bn128_G1_proj.h:43-49)
+
+        window_chunk: how many windows ride the batch axis of one
+        segmented scan (memory/parallelism trade; auto by default)."""
         ops = self.ops
         n = k_limbs.shape[-1]
         if c is None:
             c = window_size(n)
         nbuckets = 1 << c
         digits = digits_from_limbs(k_limbs, c, self.nbits)  # (W, N)
+        W = digits.shape[0]
+        if window_chunk is None:
+            # 8 windows align with TPU sublanes; cap so the gathered
+            # coordinate arrays (~3 * L * 2 * wc * n * 4B) + scan
+            # temporaries stay well under HBM
+            window_chunk = max(1, min(8, (1 << 21) // max(n, 1)))
+        wc = min(window_chunk, W)
+        nchunks = -(-W // wc)
+        if nchunks * wc != W:  # pad top windows with zero digits (inert)
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((nchunks * wc - W, n), jnp.int32)], 0
+            )
+        digits = digits.reshape(nchunks, wc, n)
         P = ops.from_affine(points)
 
-        def per_window(_, digit):
-            order = jnp.argsort(digit)
-            d_sorted = jnp.take(digit, order)
+        def per_chunk(_, digit):
+            # digit: (wc, N)
+            order = jnp.argsort(digit, axis=-1)
+            d_sorted = jnp.take_along_axis(digit, order, axis=-1)
             Ps = tuple(jnp.take(p, order, axis=-1) for p in P)
             scanned, tail = _segment_scan_tails(ops, Ps, d_sorted)
-            # scatter segment sums into buckets; non-tails go to a dump slot
-            idx = jnp.where(tail, d_sorted, nbuckets)
-            binf = ops.infinity((nbuckets + 1,))
+            idx = jnp.where(tail, d_sorted, nbuckets)       # (wc, N)
+            rows = jnp.arange(wc, dtype=jnp.int32)[:, None]
+            binf = ops.infinity((wc, nbuckets + 1))
             buckets = tuple(
-                b.at[..., idx].set(s) for b, s in zip(binf, scanned)
+                b.at[..., rows, idx].set(s) for b, s in zip(binf, scanned)
             )
-            buckets = tuple(b[..., 1:nbuckets] for b in buckets)  # drop 0 & dump
-            # weighted sum: suffix scan then tree-sum  (sum_b b*S_b)
+            buckets = tuple(b[..., 1:nbuckets] for b in buckets)
             suffix = lax.associative_scan(
                 lambda A, B: ops.add(A, B), buckets,
                 axis=buckets[0].ndim - 1, reverse=True,
             )
-            W = _tree_reduce(ops, suffix)
-            return None, W
+            Wres = _tree_reduce(ops, suffix)                # batch (wc,)
+            return None, Wres
 
-        _, Ws = lax.scan(per_window, None, digits)   # leaves: (W, L, ...)
+        _, Ws = lax.scan(per_chunk, None, digits)   # leaves (nchunks, L.., wc)
+
+        # flatten chunk-major window order -> (L.., W_padded)
+        def flatten(x):
+            x = jnp.moveaxis(x, 0, -2)              # (L.., nchunks, wc)
+            return x.reshape(x.shape[:-2] + (nchunks * wc,))
+
+        Ws = tuple(flatten(x) for x in Ws)
 
         # Horner combine from the top window: res = 2^c * res + W_w
-        def combine(res, W):
+        def combine(res, Wp):
             def dbl_step(_, r):
                 return ops.dbl(r)
             res = lax.fori_loop(0, c, dbl_step, res)
-            return ops.add(res, W), None
+            return ops.add(res, Wp), None
 
         res0 = ops.infinity(())
-        Ws_rev = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), Ws)
-        res, _ = lax.scan(combine, res0, Ws_rev)
+        Ws_rev = tuple(jnp.flip(x, -1) for x in Ws)
+        Ws_scan = tuple(jnp.moveaxis(x, -1, 0) for x in Ws_rev)
+        res, _ = lax.scan(combine, res0, Ws_scan)
         return res
 
     def __hash__(self):
@@ -184,6 +208,8 @@ class CurveMSM(MSM):
     @jit_method(static_argnums=(3,))
     def msm_mont(self, k_mont: jax.Array, points: AffBatch,
                  c: Optional[int] = None) -> Point:
+        """MSM with Montgomery-form scalars (converts first, as the
+        reference does — bn128_G1_jac.c:678-692)."""
         return self.msm_std(self.fr.from_mont(k_mont), points, c)
 
     def __hash__(self):
