@@ -289,6 +289,23 @@ class CurveKernels:
         self.fr = self.tower.fr
         self._msm = {}
 
+    def rnd_point(self, key, batch_shape=(), grp: str = "g1") -> Point:
+        """Random subgroup points = random scalar * generator, fully on
+        device (cf. rndG1, lib/src/.../G1/Proj.hs:138-146)."""
+        ops = self.g1 if grp == "g1" else self.g2
+        enc = self.encode_g1 if grp == "g1" else self.encode_g2
+        og = self.oracle_g1 if grp == "g1" else self.oracle_g2
+        import numpy as _np
+        n = int(_np.prod(batch_shape)) if batch_shape else 1
+        G = ops.from_affine(enc([og.gen] * max(n, 1)))
+        k = self.fr.from_mont(self.fr.rnd(key, (max(n, 1),)))
+        P = ops.scalar_mul_fr_std(k, G)
+        if not batch_shape:
+            return tuple(p[..., 0] for p in P)
+        return tuple(
+            p.reshape(p.shape[:-1] + tuple(batch_shape)) for p in P
+        )
+
     def msm(self, grp: str = "g1"):
         """Pippenger MSM kernels for 'g1' or 'g2' (lazy, cached)."""
         if grp not in self._msm:

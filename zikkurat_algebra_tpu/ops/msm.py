@@ -150,10 +150,36 @@ class MSM:
         P = ops.from_affine(points)
 
         def per_chunk(_, digit):
-            # digit: (wc, N)
-            order = jnp.argsort(digit, axis=-1)
-            d_sorted = jnp.take_along_axis(digit, order, axis=-1)
-            Ps = tuple(jnp.take(p, order, axis=-1) for p in P)
+            # digit: (wc, N).  Sort points by digit per window WITHOUT a
+            # gather: TPUs have no hardware gather (jnp.take lowers to
+            # serial/one-hot code), so the coordinate planes ride the sort
+            # network as sort_key_val payload rows — pure vector ops.
+            coord_shapes = [p.shape for p in P]
+            flat = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        p[..., None, :], p.shape[:-1] + (wc, n)
+                    ).reshape(-1, wc, n)
+                    for p in P
+                ],
+                0,
+            )                                               # (R, wc, N)
+            keys = jnp.broadcast_to(digit[None], flat.shape)
+            _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
+            d_sorted = lax.sort(digit, dimension=1)
+            Ps = []
+            off = 0
+            for shp in coord_shapes:
+                rows = 1
+                for s in shp[:-1]:
+                    rows *= s
+                Ps.append(
+                    sorted_flat[off:off + rows].reshape(
+                        shp[:-1] + (wc, n)
+                    )
+                )
+                off += rows
+            Ps = tuple(Ps)
             scanned, tail = _segment_scan_tails(ops, Ps, d_sorted)
             idx = jnp.where(tail, d_sorted, nbuckets)       # (wc, N)
             rows = jnp.arange(wc, dtype=jnp.int32)[:, None]

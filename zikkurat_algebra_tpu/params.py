@@ -246,3 +246,39 @@ FIELDS = {
     "BLS12-381/Fp": BLS12_381_FP,
     "BLS12-381/Fr": BLS12_381_FR,
 }
+
+
+def sage_setup(curve: "CurveParams") -> str:
+    """Printable Sage verification script for a curve's G1 — mirrors the
+    reference's `sageSetup`/`printSageSetup` audit helpers
+    (codegen/src/Zikkurat/CodeGen/Curve/Params.hs:100-133)."""
+    lines = [
+        f"# {curve.name} elliptic curve",
+        f"p  = {curve.fp.p}",
+        f"r  = {curve.fr.p}",
+        f"h  = {curve.cofactor}",
+        "Fp = GF(p)",
+        "Fr = GF(r)",
+        f"A  = Fp({curve.a})",
+        f"B  = Fp({curve.b})",
+        "E  = EllipticCurve(Fp,[A,B])",
+        f"gx = Fp({curve.g1_gen[0]})",
+        f"gy = Fp({curve.g1_gen[1]})",
+        "gen = E(gx,gy)  # subgroup generator",
+        'print("scalar field check: ", gen.additive_order() == r )',
+        'print("cofactor check:     ", E.cardinality() == r*h )',
+    ]
+    if curve.glv_beta_lambda is not None:
+        beta, lam = curve.glv_beta_lambda
+        lines += [
+            "",
+            "# GLV beta and lambda parameters",
+            f"beta = Fp({beta})",
+            f"lam  = {lam}",
+            "pt   = 1234567 * gen;",
+            "pt2  = E( beta*pt[0] , pt[1], pt[2] )",
+            'print("beta check:   ", beta^3 == 1 )',
+            'print("lambda check: ", Fr(lam)^3 == 1 )',
+            'print("GLV check:    ", lam * pt == pt2 )',
+        ]
+    return "\n".join(lines)
