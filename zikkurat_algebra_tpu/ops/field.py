@@ -34,16 +34,33 @@ LB = rl.LB
 
 
 def ints_to_limbs15(values: Union[int, Sequence[int]], L: int) -> np.ndarray:
+    """Python ints -> radix-2^15 limb planes.  Vectorized through a byte
+    matrix so encoding 2^20-element twiddle/scalar tables takes ~100 ms
+    instead of tens of seconds of per-limb Python loops."""
     if isinstance(values, int):
         return np.array(
             [(values >> (LB * k)) & rl.MASK for k in range(L)], dtype=np.int32
         )
     vals = list(values)
-    out = np.empty((L, len(vals)), dtype=np.int32)
-    for n, v in enumerate(vals):
-        for k in range(L):
-            out[k, n] = (v >> (LB * k)) & rl.MASK
-    return out
+    n = len(vals)
+    if n == 0:
+        return np.zeros((L, 0), np.int32)
+    nbytes = (L * LB + 7) // 8 + 2
+    buf = bytearray(n * nbytes)
+    for i, v in enumerate(vals):
+        buf[i * nbytes:(i + 1) * nbytes] = v.to_bytes(nbytes, "little")
+    B = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, nbytes)
+    ks = np.arange(L)
+    bit0 = ks * LB
+    byte0 = bit0 // 8
+    shift = bit0 % 8
+    chunk = (
+        B[:, byte0].astype(np.uint32)
+        | (B[:, byte0 + 1].astype(np.uint32) << 8)
+        | (B[:, byte0 + 2].astype(np.uint32) << 16)
+    )
+    limbs = (chunk >> shift[None, :]) & rl.MASK
+    return np.ascontiguousarray(limbs.T.astype(np.int32))
 
 
 def limbs15_to_ints(limbs: np.ndarray) -> Union[int, List[int]]:

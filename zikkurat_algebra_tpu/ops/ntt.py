@@ -61,15 +61,23 @@ class NTTDomain:
 
     def _stage_tables(self, g: int) -> List[jax.Array]:
         p = self.field.p
+        f = self.field
         tables = []
         for s in range(1, self.m + 1):
             w = pow(g, 1 << (self.m - s), p)
             half = 1 << (s - 1)
-            tw, acc = [], 1
-            for _ in range(half):
-                tw.append(acc)
-                acc = acc * w % p
-            tables.append(self.field.encode(tw))  # (L, half)
+            if half <= 4096:
+                tw, acc = [], 1
+                for _ in range(half):
+                    tw.append(acc)
+                    acc = acc * w % p
+                tables.append(f.encode(tw))  # (L, half)
+            else:
+                # big stages: build the power ladder ON DEVICE (log-depth
+                # prefix product) — host int loops would take seconds
+                from .vector import powers
+
+                tables.append(powers(f, f.one(()), f.encode(w), half))
         return tables
 
     # -- transforms --------------------------------------------------------

@@ -29,44 +29,50 @@ MASK = rl.MASK
 
 
 def _mont_mul_kernel(L: int, pinv15: int, a_ref, b_ref, p_ref, o_ref):
-    # per-limb rows as separate arrays: fully unrolled CIOS
-    a = [a_ref[i, :] for i in range(L)]
-    b = [b_ref[i, :] for i in range(L)]
-    p = [p_ref[i, :] for i in range(L)]       # broadcast rows (T,)
-    T = a[0].shape
-
-    acc = [jnp.zeros(T, I32) for _ in range(L + 1)]
-    carry = jnp.zeros(T, I32)
+    # whole-block CIOS: every step is (L, T)-shaped vector work so the
+    # limb axis PACKS THE SUBLANES (vs 1-row ops wasting 7/8 of each
+    # vreg); the column shift-down is a static slice + pad.
+    a = a_ref[:, :]                            # (L, T)
+    b = b_ref[:, :]
+    p = p_ref[:, :]
+    T = a.shape[1]
     pinv = jnp.int32(pinv15)
 
-    for j in range(L):
-        bj = b[j]
-        pa = [ai * bj for ai in a]            # exact int32 products
-        c0 = acc[0] + carry + (pa[0] & MASK)
-        m = ((c0 & MASK) * pinv) & MASK
-        mp = [pi * m for pi in p]
-        carry = (c0 + (mp[0] & MASK)) >> LB
-        # cols 1..L accumulate the remaining halves, then shift down
-        nxt = [None] * (L + 1)
-        for k in range(1, L + 1):
-            v = acc[k]
-            if k < L:
-                v = v + (pa[k] & MASK) + (mp[k] & MASK)
-            v = v + (pa[k - 1] >> LB) + (mp[k - 1] >> LB)
-            nxt[k - 1] = v
-        nxt[L] = jnp.zeros(T, I32)
-        acc = nxt
+    zrow = jnp.zeros((1, T), I32)
+    acc = jnp.zeros((L + 1, T), I32)
+    carry = jnp.zeros((1, T), I32)
 
-    # fold the threaded carry back, + p, then full carry propagation
-    # (unrolled) — canonical band output
-    acc[0] = acc[0] + carry
+    for j in range(L):
+        bj = b[j:j + 1, :]                     # (1, T)
+        pa = a * bj                            # exact int32 products (L, T)
+        pa_lo = pa & MASK
+        pa_hi = pa >> LB
+        c0 = acc[0:1] + carry + pa_lo[0:1]
+        m = ((c0 & MASK) * pinv) & MASK
+        mp = p * m                             # (L, T)
+        mp_lo = mp & MASK
+        mp_hi = mp >> LB
+        carry = (c0 + mp_lo[0:1]) >> LB
+        upper = (
+            acc[1:]
+            + jnp.concatenate([pa_lo[1:], zrow], 0)
+            + pa_hi
+            + jnp.concatenate([mp_lo[1:], zrow], 0)
+            + mp_hi
+        )
+        acc = jnp.concatenate([upper, zrow], 0)
+
+    # fold the carry back, + p, then the (inherently serial) full carry
+    # (concat-built: .at[].add lowers to scatter-add, unsupported here)
+    acc = jnp.concatenate([acc[0:1] + carry, acc[1:]], 0)
+    acc = acc + jnp.concatenate([p, zrow], 0)
+    c = jnp.zeros((1, T), I32)
+    rows = []
     for k in range(L):
-        acc[k] = acc[k] + p[k]
-    c = jnp.zeros(T, I32)
-    for k in range(L):
-        t = acc[k] + c
-        o_ref[k, :] = t & MASK
+        t = acc[k:k + 1] + c
+        rows.append(t & MASK)
         c = t >> LB
+    o_ref[:, :] = jnp.concatenate(rows, 0)
     # top column provably zero (value < 3.2p << 2^(15L))
 
 

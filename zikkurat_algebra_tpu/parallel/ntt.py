@@ -65,18 +65,23 @@ class ShardedNTT:
         self._tw_inv = self._twiddle_table(self.dom.gen_inv)
 
     def _twiddle_table(self, g: int) -> jax.Array:
-        """(L, n1, n2) table of g^(k1*n2) in Montgomery form."""
-        p = self.field.p
-        flat = []
-        for k1 in range(self.n1):
-            base = pow(g, k1, p)
-            acc = 1
-            for _ in range(self.n2):
-                flat.append(acc)
-                acc = acc * base % p
-        return self.field.encode(flat).reshape(
-            (self.field.L, self.n1, self.n2)
+        """(L, n1, n2) table of g^(k1*n2) in Montgomery form, built on
+        device with two nested log-depth prefix products (host int loops
+        would cost seconds at 2^20)."""
+        f = self.field
+        from ..ops.vector import powers
+
+        bases = powers(f, f.one(()), f.encode(g), self.n1)   # (L, n1): g^k1
+        one_col = f.one((self.n1, 1))
+        rest = jnp.broadcast_to(
+            bases[:, :, None], (f.L, self.n1, self.n2 - 1)
         )
+        elems = jnp.concatenate([one_col, rest], axis=2)
+        return jax.jit(
+            lambda e: lax.associative_scan(
+                lambda u, v: f.mul(u, v), e, axis=2
+            )
+        )(elems)
 
     def _transform(self, x: jax.Array, inverse: bool) -> jax.Array:
         f = self.field
