@@ -13,7 +13,9 @@ if __name__ == "__main__":
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+    # default to CPU: the session env pre-sets JAX_PLATFORMS=axon (the
+    # tunneled TPU); opt in to hardware with ZIKKURAT_TPU=1
+    if os.environ.get("ZIKKURAT_TPU") != "1":
         jax.config.update("jax_platforms", "cpu")
     from zikkurat_algebra_tpu.utils.cache import setup_cache
     setup_cache(jax)

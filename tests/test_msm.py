@@ -73,3 +73,24 @@ def test_window_size_heuristic():
     assert window_size(1 << 10) == 6
     assert window_size(10) == 1
     assert window_size(1) == 1
+
+
+def test_blocked_segment_reduce_cross_block(rng, ck):
+    """Long segments spanning many level-1 blocks (c small => few digits)
+    exercise the cross-block carry path of the blocked reduction."""
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    n = 160
+    pts = [og.rnd(rng) for _ in range(n)]
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    # c=2 -> digits in {0..3}: segments of ~40 elements span 16-blocks
+    res = msm.msm_std(k_limbs, A, 2, 4, 16)
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want
+    # and agreement with the associative-scan formulation (block=0)
+    res2 = msm.msm_std(k_limbs, A, 2, 4, 0)
+    got2 = ck.decode_g1(ck.g1.to_affine(res2))
+    assert got2 == want

@@ -66,3 +66,23 @@ def test_pairing_infinity(rng, pk):
     Qb = pk.ck.encode_g2([q, None])
     vals = pk.tower.decode_fp12(pk.pairing(Pb, Qb))
     assert vals == [pk.oracle.f12.one, pk.oracle.f12.one]
+
+
+def test_pairing_product(rng, pk):
+    """prod e(P_i, Q_i) with one shared final exponentiation."""
+    og1, og2 = pk.ck.oracle_g1, pk.ck.oracle_g2
+    o12 = pk.oracle.f12
+    ps = [og1.rnd(rng) for _ in range(3)]
+    qs = [og2.rnd(rng) for _ in range(3)]
+    want = o12.one
+    for p, q in zip(ps, qs):
+        want = o12.mul(want, pk.oracle.pairing(p, q))
+    Pb = pk.ck.encode_g1(ps)
+    Qb = pk.ck.encode_g2(qs)
+    got = pk.tower.decode_fp12(pk.pairing_product(Pb, Qb))
+    assert got == want
+    # e(P,Q) * e(-P,Q) == 1
+    Pb2 = pk.ck.encode_g1([ps[0], og1.neg(ps[0])])
+    Qb2 = pk.ck.encode_g2([qs[0], qs[0]])
+    one = pk.tower.decode_fp12(pk.pairing_product(Pb2, Qb2))
+    assert one == o12.one

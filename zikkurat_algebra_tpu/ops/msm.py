@@ -111,6 +111,96 @@ def _segment_scan_tails(ops: ProjCurveOps, P: Point, seg_id: jax.Array
     return scanned, tail
 
 
+def _segment_reduce_blocked(ops: ProjCurveOps, P: Point, seg_id: jax.Array,
+                            m: int, nbuckets: int):
+    """Two-level blocked segmented reduction (GPU-style segmented scan):
+
+    level 1: one lax.scan of m steps computes in-block running sums that
+             RESTART at segment boundaries (batch = all blocks x windows —
+             contiguous slices, no strided relayouts, ~N group adds total);
+    level 2: per-block trailing partials are combined across consecutive
+             connected blocks by a small segmented associative scan
+             (N/m elements), and each cross-block carry is scattered into
+             a correction bucket array.
+
+    Returns (tail values (*,wc,N), tail mask, correction buckets tuple,
+    correction index (wc, nblk)).  seg_id must be sorted along the last
+    axis; the caller pads N to a multiple of m."""
+    wc, n = seg_id.shape
+    nblk = n // m
+    d_blk = seg_id.reshape(wc, nblk, m)
+
+    def split_blocks(p):
+        x = p.reshape(p.shape[:-1] + (nblk, m))
+        return jnp.moveaxis(x, -1, 0)          # (m, ..., wc, nblk)
+
+    Pm = tuple(split_blocks(p) for p in P)
+    prev = jnp.concatenate([d_blk[..., :1], d_blk[..., :-1]], -1)
+    new_seg = d_blk != prev
+    new_seg = new_seg.at[..., 0].set(True)     # block starts restart
+    new_m = jnp.moveaxis(new_seg, -1, 0)       # (m, wc, nblk)
+
+    def body(acc, inp):
+        pt, new = inp
+        summed = ops.add(acc, pt)
+        nxt = ops.select(new, pt, summed)
+        return nxt, nxt
+
+    acc0 = ops.infinity((wc, nblk))
+    _, ys_m = lax.scan(body, acc0, (Pm, new_m))
+    S = tuple(y[-1] for y in ys_m)             # trailing partials (.., wc, nblk)
+    ys = tuple(
+        jnp.moveaxis(y, 0, -1).reshape(P[0].shape[:-1] + (n,)) for y in ys_m
+    )
+
+    # global tail mask (next element differs, or global end)
+    tail = jnp.concatenate(
+        [seg_id[..., 1:] != seg_id[..., :-1],
+         jnp.ones((wc, 1), jnp.bool_)], axis=-1
+    )
+
+    # --- level 2: cross-block carries ---
+    d_first = d_blk[..., 0]
+    d_last = d_blk[..., -1]
+    uniform = d_first == d_last                # sorted => uniform block
+    conn = jnp.concatenate(
+        [jnp.zeros((wc, 1), jnp.bool_), d_first[:, 1:] == d_last[:, :-1]], 1
+    )
+    # T_b = S_b + [uniform_b & conn_b] * T_{b-1}  (segmented scan over blocks)
+    brk_flag = jnp.logical_not(jnp.logical_and(uniform, conn))
+    rank = S[0].ndim
+    flag_leaf = brk_flag.reshape((1,) * (rank - 2) + brk_flag.shape)
+
+    def combine(a, b):
+        (pa, fa) = a
+        (pb, fb) = b
+        summed = ops.add(pa, pb)
+        pred = fb.reshape(fb.shape[-2:])
+        pt = ops.select(pred, pb, summed)
+        return (pt, jnp.logical_or(fa, fb))
+
+    T, _ = lax.associative_scan(combine, (S, flag_leaf), axis=rank - 1)
+    # carry INTO block b = T_{b-1} when connected to the previous block
+    inf1 = ops.infinity((wc, 1))
+    T_shift = tuple(
+        jnp.concatenate([i, t[..., :-1]], -1) for t, i in zip(T, inf1)
+    )
+    C = ops.select(conn, T_shift, ops.infinity((wc, nblk)))
+    # the carry lands in the block where the spanning segment ENDS:
+    # either the block has an internal break, or the segment does NOT
+    # continue into the next block (incl. the final block)
+    conn_next = jnp.concatenate(
+        [conn[:, 1:], jnp.zeros((wc, 1), jnp.bool_)], 1
+    )
+    ends_here = jnp.logical_and(
+        conn,
+        jnp.logical_or(jnp.logical_not(uniform),
+                       jnp.logical_not(conn_next)),
+    )
+    cidx = jnp.where(ends_here, d_first, nbuckets)
+    return ys, tail, C, cidx
+
+
 class MSM:
     """Pippenger MSM bound to one curve group."""
 
@@ -118,16 +208,19 @@ class MSM:
         self.ops = ops
         self.nbits = nbits
 
-    @jit_method(static_argnums=(3, 4))
+    @jit_method(static_argnums=(3, 4, 5))
     def msm_std(self, k_limbs: jax.Array, points: AffBatch,
                 c: Optional[int] = None,
-                window_chunk: Optional[int] = None) -> Point:
+                window_chunk: Optional[int] = None,
+                block: int = 128) -> Point:
         """MSM with CANONICAL standard-rep scalar limb planes (Lr, N) and
         affine points; returns one projective point.
         (cf. MSM_std_coeff_proj_out, bn128_G1_proj.h:43-49)
 
         window_chunk: how many windows ride the batch axis of one
-        segmented scan (memory/parallelism trade; auto by default)."""
+        segmented scan (memory/parallelism trade; auto by default).
+        block: level-1 block length of the blocked segmented reduction
+        (0 = use the associative-scan formulation instead)."""
         ops = self.ops
         n = k_limbs.shape[-1]
         if c is None:
@@ -148,6 +241,17 @@ class MSM:
             )
         digits = digits.reshape(nchunks, wc, n)
         P = ops.from_affine(points)
+        if block and n % block:
+            # pad the domain to a block multiple: digit = nbuckets sorts
+            # to the end and scatters to the dump slot; points = infinity
+            padn = (-n) % block
+            digits = jnp.pad(digits, ((0, 0), (0, 0), (0, padn)),
+                             constant_values=nbuckets)
+            Pinf = ops.infinity((padn,))
+            P = tuple(
+                jnp.concatenate([p, i], axis=-1) for p, i in zip(P, Pinf)
+            )
+            n = n + padn
 
         def per_chunk(_, digit):
             # digit: (wc, N).  Sort points by digit per window WITHOUT a
@@ -180,13 +284,29 @@ class MSM:
                 )
                 off += rows
             Ps = tuple(Ps)
-            scanned, tail = _segment_scan_tails(ops, Ps, d_sorted)
-            idx = jnp.where(tail, d_sorted, nbuckets)       # (wc, N)
             rows = jnp.arange(wc, dtype=jnp.int32)[:, None]
             binf = ops.infinity((wc, nbuckets + 1))
-            buckets = tuple(
-                b.at[..., rows, idx].set(s) for b, s in zip(binf, scanned)
-            )
+            if block:
+                scanned, tail, C, cidx = _segment_reduce_blocked(
+                    ops, Ps, d_sorted, block, nbuckets
+                )
+                idx = jnp.where(tail, d_sorted, nbuckets)   # (wc, N)
+                buckets = tuple(
+                    b.at[..., rows, idx].set(s)
+                    for b, s in zip(binf, scanned)
+                )
+                corr = tuple(
+                    b.at[..., rows, cidx].set(s)
+                    for b, s in zip(binf, C)
+                )
+                buckets = ops.add(buckets, corr)
+            else:
+                scanned, tail = _segment_scan_tails(ops, Ps, d_sorted)
+                idx = jnp.where(tail, d_sorted, nbuckets)   # (wc, N)
+                buckets = tuple(
+                    b.at[..., rows, idx].set(s)
+                    for b, s in zip(binf, scanned)
+                )
             buckets = tuple(b[..., 1:nbuckets] for b in buckets)
             suffix = lax.associative_scan(
                 lambda A, B: ops.add(A, B), buckets,

@@ -213,6 +213,26 @@ class PairingKernels:
         inf = jnp.logical_or(P[2], Q[2])
         return f12.select(inf, one, out)
 
+    @jit_method
+    def pairing_product(self, P: AffBatch, Q: AffBatch) -> jax.Array:
+        """prod_i e(P_i, Q_i): the batched Miller loops share ONE final
+        exponentiation (the standard multi-pairing verifier trick — the
+        reference computes pairings one at a time)."""
+        t = self.tower
+        f12 = t.fp12
+        f = self.miller_loop(P, Q)
+        one = f12.one(P[0].shape[1:])
+        inf = jnp.logical_or(P[2], Q[2])
+        f = f12.select(inf, one, f)
+        # tree-reduce the batch axis, then one final exponentiation
+        while f.shape[-1] > 1:
+            k = f.shape[-1]
+            if k % 2:
+                f = jnp.concatenate([f, f12.one((1,))], -1)
+                k += 1
+            f = f12.mul(f[..., :k // 2], f[..., k // 2:])
+        return self.final_exp(f[..., 0])
+
     def __hash__(self):
         return id(self)
 

@@ -125,9 +125,19 @@ def verify_proof(setup: KZGSetup, commitment: Point, proof: Point,
     adj = g1.sub(g1.add(commitment, x0Q), y0G)
     adj_aff = g1.to_affine(adj)
 
-    lhs = pk.pairing(_as_batch(proof_aff), setup.tau_g2)
-    rhs = pk.pairing(_as_batch(adj_aff), setup.g2)
-    return t.fp12.eq(lhs, rhs)[0]
+    # single multi-pairing: e(comQ, tau*G2) * e(-adj, G2) == 1 — one
+    # shared final exponentiation instead of two full pairings
+    neg_adj_aff = g1.to_affine(g1.neg(adj))
+    Pb = tuple(
+        jnp.concatenate([a, b], axis=-1)
+        for a, b in zip(_as_batch(proof_aff), _as_batch(neg_adj_aff))
+    )
+    Qb = tuple(
+        jnp.concatenate([a, b], axis=-1)
+        for a, b in zip(setup.tau_g2, setup.g2)
+    )
+    prod = pk.pairing_product(Pb, Qb)
+    return t.fp12.eq(prod, t.fp12.one(()))
 
 
 def _as_batch(aff: AffBatch) -> AffBatch:
