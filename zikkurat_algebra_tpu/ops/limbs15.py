@@ -24,6 +24,14 @@ the high-performance-NTT "redundant arithmetic" literature in PAPERS.md).
 
 cf. the reference's exact-carry word kernels (lib/cbits/platform.h,
 bigint256.c, *_mont.c REDC) — same math, carry-free dataflow.
+
+INVARIANT DISCIPLINE: carry-free ops GROW the value bound (add: sum of
+bounds, scale_small(k): x k).  Any op chain that feeds its own output
+back without passing through a Montgomery multiplication (which resets
+the bound to ~2p) will blow the 2^13*p budget geometrically — e.g. an
+iterated x2 term in a squaring chain must be computed as a CIOS product
+with the constant 2, not as a scale_small (this exact bug broke the
+cyclotomic exponentiation before being routed through mul_many).
 """
 
 from __future__ import annotations
