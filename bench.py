@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--check", type=int, default=0,
                     help="cross-check a 2^check-point prefix vs the oracle")
     ap.add_argument("--workload", default="msm",
-                    choices=["msm", "ntt", "fieldmul"],
+                    choices=["msm", "ntt", "fieldmul", "kzg"],
                     help="which BASELINE workload to time")
     args = ap.parse_args()
 
@@ -58,6 +58,8 @@ def main():
         return bench_ntt(args, jax)
     if args.workload == "fieldmul":
         return bench_fieldmul(args, jax)
+    if args.workload == "kzg":
+        return bench_kzg(args, jax)
 
     curve = P.CURVES[args.curve]
     ck = get_curves(curve)
@@ -184,6 +186,52 @@ def bench_ntt(args, jax):
     }
     print(json.dumps(out))
     print(f"# first={first:.1f}s per={per*1e3:.1f}ms backend={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
+def bench_kzg(args, jax):
+    """KZG commit+open+verify roundtrip (BASELINE config 4 companion;
+    mirrors examples/KZG.hs end-to-end)."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+    from zikkurat_algebra_tpu.protocols import kzg
+
+    curve = P.CURVES[args.curve]
+    ck = get_curves(curve)
+    fr = ck.fr
+    m = min(args.n, 14)
+    rng = random.Random(7)
+    t0 = time.time()
+    setup = kzg.new_setup(curve, m, rng.randrange(2, fr.p))
+    jax.tree_util.tree_map(np.asarray, setup.tau_g1)
+    setup_s = time.time() - t0
+    coeffs = fr.encode([rng.randrange(fr.p) for _ in range(1 << m)])
+    x0 = fr.encode(rng.randrange(fr.p))
+
+    t0 = time.time()
+    com = kzg.commit_poly(setup, coeffs)
+    [np.asarray(x) for x in com]
+    commit_s = time.time() - t0
+    t0 = time.time()
+    y0, proof = kzg.opening_proof(setup, coeffs, x0)
+    [np.asarray(x) for x in proof]
+    open_s = time.time() - t0
+    t0 = time.time()
+    ok = bool(kzg.verify_proof(setup, com, proof, x0, y0))
+    verify_s = time.time() - t0
+    assert ok, "KZG verify rejected an honest proof"
+    out = {
+        "metric": f"{args.curve.lower().replace('-', '_')}_kzg_2e{m}_commit_seconds",
+        "value": round(commit_s, 4),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }
+    print(json.dumps(out))
+    print(f"# setup={setup_s:.1f}s commit={commit_s:.2f}s open={open_s:.2f}s "
+          f"verify={verify_s:.2f}s backend={jax.devices()[0].platform}",
           file=sys.stderr)
 
 
