@@ -253,36 +253,46 @@ class MSM:
             )
             n = n + padn
 
+        # canonicalize the coords (inputs may be lazy-band, e.g. straight
+        # from to_affine), then pack two 15-bit limbs per int32 payload
+        # row — halves the data moved through the sort network
+        P = tuple(ops.f.norm(p) for p in P)
+        coord_shapes = [p.shape for p in P]
+        packed_rows = []
+        for p in P:
+            flatp = p.reshape(-1, n)
+            if flatp.shape[0] % 2:
+                flatp = jnp.concatenate(
+                    [flatp, jnp.zeros((1, n), flatp.dtype)], 0
+                )
+            half = flatp.shape[0] // 2
+            packed_rows.append(flatp[:half] | (flatp[half:] << 15))
+        packed = jnp.concatenate(packed_rows, 0)            # (Rp, N)
+        row_counts = [r.shape[0] for r in packed_rows]
+
         def per_chunk(_, digit):
             # digit: (wc, N).  Sort points by digit per window WITHOUT a
             # gather: TPUs have no hardware gather (jnp.take lowers to
-            # serial/one-hot code), so the coordinate planes ride the sort
-            # network as sort_key_val payload rows — pure vector ops.
-            coord_shapes = [p.shape for p in P]
-            flat = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        p[..., None, :], p.shape[:-1] + (wc, n)
-                    ).reshape(-1, wc, n)
-                    for p in P
-                ],
-                0,
-            )                                               # (R, wc, N)
+            # serial/one-hot code), so the packed coordinate planes ride
+            # the sort network as sort_key_val payload — pure vector ops.
+            flat = jnp.broadcast_to(
+                packed[:, None, :], (packed.shape[0], wc, n)
+            )
             keys = jnp.broadcast_to(digit[None], flat.shape)
             _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
             d_sorted = lax.sort(digit, dimension=1)
             Ps = []
             off = 0
-            for shp in coord_shapes:
+            for shp, rc in zip(coord_shapes, row_counts):
+                blk = sorted_flat[off:off + rc]             # (rc, wc, n)
+                lo = blk & 32767
+                hi = (blk >> 15) & 32767
+                full = jnp.concatenate([lo, hi], 0)
                 rows = 1
                 for s in shp[:-1]:
                     rows *= s
-                Ps.append(
-                    sorted_flat[off:off + rows].reshape(
-                        shp[:-1] + (wc, n)
-                    )
-                )
-                off += rows
+                Ps.append(full[:rows].reshape(shp[:-1] + (wc, n)))
+                off += rc
             Ps = tuple(Ps)
             rows = jnp.arange(wc, dtype=jnp.int32)[:, None]
             binf = ops.infinity((wc, nbuckets + 1))

@@ -131,6 +131,10 @@ class _Ext(_FieldOps):
         """Small-integer scaling — carry-free, componentwise."""
         return self.base.scale_small(a, k)
 
+    def norm(self, a):
+        """Canonical [0, p) limbs, componentwise."""
+        return self.base.norm(a)
+
     def is_zero(self, a):
         out = self.base.is_zero(self.comp(a, 0))
         for i in range(1, self.deg):
