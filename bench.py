@@ -271,7 +271,19 @@ def bench_fieldmul(args, jax):
 
 
 def _cpp_baseline_pps(args):
-    """points/s of the native CPU reference (cpp/build/msm_bench), if built."""
+    """CPU baseline points/s: prefer the REFERENCE's own compiled C
+    (scripts/build_reference.sh), fall back to cpp/build/msm_bench."""
+    if args.n <= 18:
+        try:
+            from zikkurat_algebra_tpu.utils.reference_ffi import (
+                time_reference_msm,
+            )
+            pps, _ = time_reference_msm(args.curve, args.n)
+            print(f"# baseline = reference C (single-thread): {pps:.0f} pts/s",
+                  file=sys.stderr)
+            return pps
+        except Exception:
+            pass
     import subprocess
     exe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "cpp", "build", "msm_bench")
@@ -281,6 +293,7 @@ def _cpp_baseline_pps(args):
         out = subprocess.run(
             [exe, str(args.n)], capture_output=True, text=True, timeout=600
         )
+        print("# baseline = cpp stand-in (OpenMP)", file=sys.stderr)
         return float(json.loads(out.stdout.strip().splitlines()[-1])["points_per_sec"])
     except Exception:
         return None

@@ -184,8 +184,8 @@ class PairingKernels:
             cy, cx, cb = self._line_add(T, pi2Q, xp, yp)
             T = g2ops.madd(T, (pi2Q[0], pi2Q[1], inf_mask))
             f = f12.mul(f, self._sparse12(cy, cx, cb))
-        elif self.curve.seed < 0:
-            f = t.fp12_conj(f)   # negative loop parameter (BLS)
+        # negative BLS seed: the common convention conjugates f here; the
+        # reference does NOT (bls12_381_pairing.c) and is the parity anchor
         return f
 
     @jit_method

@@ -146,8 +146,9 @@ class Pairing:
             f = f12.mul(f, lv)
             lv, t = self._line_add(t, (pi2_q[0], f12.neg(pi2_q[1])), pe)
             f = f12.mul(f, lv)
-        elif self.cp.seed < 0:
-            f = f12.inv(f)
+        # NOTE: for the negative BLS seed the common convention conjugates
+        # f here; the REFERENCE does not (bls12_381_pairing.c:214-235), and
+        # it is the parity anchor — both are valid bilinear pairings.
         return f12.pow(f, self.final_exponent)
 
     def gt_pow(self, g, k: int):
