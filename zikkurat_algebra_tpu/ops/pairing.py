@@ -153,20 +153,26 @@ class PairingKernels:
         T = g2ops.from_affine(Q)
         Qp = (xq, yq)
 
-        # one lax.scan over the static loop bits: always compute the
-        # dbl-step and the add-step, select by bit — a single compiled
-        # body instead of a 64x-unrolled graph (compile-time critical).
+        # one lax.scan over the static loop bits — a single compiled body
+        # instead of a 64x-unrolled graph (compile-time critical).  The
+        # bit is a SCALAR, so lax.cond stays a real branch on TPU and the
+        # add-step work is skipped on zero bits (~35% of Miller time).
         def step(carry, bit):
             f, T = carry
             cy, cx, cb = self._line_dbl(T, xp, yp)
             T2 = g2ops.dbl(T)
-            f2 = f12.mul(f12.sqr(f), self._sparse12(cy, cx, cb))
-            cy, cx, cb = self._line_add(T2, Qp, xp, yp)
-            T3 = g2ops.madd(T2, Q)
-            f3 = f12.mul(f2, self._sparse12(cy, cx, cb))
-            pred = jnp.broadcast_to(bit == 1, batch)
-            fo = f12.select(pred, f3, f2)
-            To = g2ops.select(pred, T3, T2)
+            fd = f12.mul(f12.sqr(f), self._sparse12(cy, cx, cb))
+
+            def with_add(args):
+                fd, T2 = args
+                cy, cx, cb = self._line_add(T2, Qp, xp, yp)
+                T3 = g2ops.madd(T2, Q)
+                return f12.mul(fd, self._sparse12(cy, cx, cb)), T3
+
+            def without_add(args):
+                return args
+
+            fo, To = lax.cond(bit == 1, with_add, without_add, (fd, T2))
             return (fo, To), None
 
         bits = jnp.asarray(self.loop_bits, U32)
