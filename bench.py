@@ -23,12 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=16, help="log2 number of points")
+    ap.add_argument("--n", type=int, default=18, help="log2 number of points")
     ap.add_argument("--curve", default="BLS12-381")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--check", type=int, default=0,
                     help="cross-check a 2^check-point prefix vs the oracle")
+    ap.add_argument("--window-chunk", type=int, default=None,
+                    help="MSM windows per scan batch (None=auto)")
+    ap.add_argument("--block", type=int, default=128,
+                    help="MSM level-1 segment block size (0=assoc-scan)")
+    ap.add_argument("--c", type=int, default=None, help="MSM window bits")
     ap.add_argument("--workload", default="msm",
                     choices=["msm", "ntt", "fieldmul", "kzg"],
                     help="which BASELINE workload to time")
@@ -52,7 +57,11 @@ def main():
 
     from zikkurat_algebra_tpu import params as P
     from zikkurat_algebra_tpu.ops.curve import get_curves
-    from zikkurat_algebra_tpu.ops.field import ints_to_limbs15
+    from zikkurat_algebra_tpu.ops.field import Field, ints_to_limbs15
+
+    if jax.devices()[0].platform != "cpu" and not os.environ.get(
+            "ZIKKURAT_NO_PALLAS"):
+        Field.use_pallas = True
 
     if args.workload == "ntt":
         return bench_ntt(args, jax)
@@ -104,7 +113,7 @@ def main():
         )
         got_pt = msm.msm_std(
             jnp.asarray(ints_to_limbs15(ks[:m], fr.L)),
-            tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],),
+            tuple(cc[..., :m] for cc in pts[:2]) + (pts[2][:m],),
         )
         got = ck.decode_g1(ck.g1.to_affine(got_pt))
         assert got == want, "MSM cross-check vs oracle FAILED"
@@ -116,7 +125,7 @@ def main():
 
     # compile
     t0 = time.time()
-    res = msm.msm_std(k_limbs, pts)
+    res = msm.msm_std(k_limbs, pts, args.c, args.window_chunk, args.block)
     fetch(res)
     compile_and_first_s = time.time() - t0
 
@@ -127,7 +136,7 @@ def main():
     outs = []
     for i in range(iters):
         kl = jnp.roll(k_limbs, i + 1, axis=-1)
-        res = msm.msm_std(kl, pts)
+        res = msm.msm_std(kl, pts, args.c, args.window_chunk, args.block)
         outs.append(fetch(res))
     per_run = (time.time() - t0) / iters
     del outs

@@ -127,20 +127,34 @@ class Field:
         """Multiply by a small static integer (4 vector ops, no reduction)."""
         return rl.scale_small(a, k)
 
-    @jit_method
-    def mul(self, a, b):
+    # When True, multiplications on batches >= one tile go through the
+    # fused Pallas kernel (ops/pallas_field.py) instead of the XLA scan —
+    # set BEFORE any tracing (bench enables it on the TPU backend; tests
+    # stay on the scan path, Pallas interpret mode is too slow on CPU).
+    use_pallas = False
+    pallas_tile = 512
+
+    def _mul_impl(self, a, b):
+        if self.use_pallas:
+            from .pallas_field import mont_mul_pallas
+
+            return mont_mul_pallas(a, b, self.p_np, self.pinv15,
+                                   tile=self.pallas_tile)
         return rl.mont_mul(a, b, self.consts(a), self.pinv15)
 
     @jit_method
+    def mul(self, a, b):
+        return self._mul_impl(a, b)
+
+    @jit_method
     def sqr(self, a):
-        return rl.mont_mul(a, a, self.consts(a), self.pinv15)
+        return self._mul_impl(a, a)
 
     @jit_method
     def mul_many(self, a_stack: jax.Array, b_stack: jax.Array) -> jax.Array:
-        """Batched independent products: (L, K, *batch) pairs -> one CIOS
-        scan.  The tower layers flatten their Karatsuba trees onto K."""
-        return rl.mont_mul(a_stack, b_stack, self._c(self.p_np, a_stack.ndim - 1),
-                           self.pinv15)
+        """Batched independent products: (L, K, *batch) pairs -> one fused
+        kernel.  The tower layers flatten their Karatsuba trees onto K."""
+        return self._mul_impl(a_stack, b_stack)
 
     def mul_list(self, pairs: Sequence[Tuple[jax.Array, jax.Array]]
                  ) -> List[jax.Array]:

@@ -60,24 +60,29 @@ class NTTDomain:
         self._ninv_mont = field.encode(self.n_inv)
 
     def _stage_tables(self, g: int) -> List[jax.Array]:
+        """Stage-s twiddles are g^(j * 2^(m-s)) — strided subsamples of ONE
+        g-power ladder of length n/2, so the whole table set costs a single
+        device prefix product (or a host loop for small domains)."""
         p = self.field.p
         f = self.field
+        half_max = max(1, self.n // 2)
+        if half_max <= 4096:
+            tw, acc = [], 1
+            for _ in range(half_max):
+                tw.append(acc)
+                acc = acc * g % p
+            full = f.encode(tw)              # (L, n/2)
+        else:
+            from .vector import powers
+
+            full = jax.jit(
+                lambda one, ge: powers(f, one, ge, half_max)
+            )(f.one(()), f.encode(g))
         tables = []
         for s in range(1, self.m + 1):
-            w = pow(g, 1 << (self.m - s), p)
             half = 1 << (s - 1)
-            if half <= 4096:
-                tw, acc = [], 1
-                for _ in range(half):
-                    tw.append(acc)
-                    acc = acc * w % p
-                tables.append(f.encode(tw))  # (L, half)
-            else:
-                # big stages: build the power ladder ON DEVICE (log-depth
-                # prefix product) — host int loops would take seconds
-                from .vector import powers
-
-                tables.append(powers(f, f.one(()), f.encode(w), half))
+            stride = 1 << (self.m - s)
+            tables.append(full[:, ::stride][:, :half])
         return tables
 
     # -- transforms --------------------------------------------------------

@@ -98,13 +98,28 @@ def _build_mont_mul(L: int, pinv15: int, n: int, tile: int, interpret: bool):
 
 def mont_mul_pallas(a: jax.Array, b: jax.Array, p_np, pinv15: int,
                     tile: int = 512, interpret: bool = False) -> jax.Array:
-    """Drop-in for rl.mont_mul on 2-D (L, N) operands with N % tile == 0.
-    Falls back to the XLA scan for other shapes."""
+    """Drop-in for rl.mont_mul on arbitrary (L, *batch) operands: the
+    batch is flattened and padded to a tile multiple.  Small batches
+    (< one tile) fall back to the XLA scan — the kernel-launch overhead
+    wouldn't pay."""
     L = a.shape[0]
-    if a.ndim != 2 or a.shape[1] % tile or a.shape != b.shape:
+    batch_shape = a.shape[1:]
+    nb = 1
+    for s in batch_shape:
+        nb *= s
+    if a.shape != b.shape or nb < tile:
         p = jnp.asarray(p_np).reshape((L,) + (1,) * (a.ndim - 1))
         return rl.mont_mul(a, b, p, pinv15)
-    n = a.shape[1]
+    af = a.reshape(L, nb)
+    bf = b.reshape(L, nb)
+    pad = (-nb) % tile
+    if pad:
+        af = jnp.pad(af, ((0, 0), (0, pad)))
+        bf = jnp.pad(bf, ((0, 0), (0, pad)))
+    n = nb + pad
     pb = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (L, tile))
     call = _build_mont_mul(L, pinv15, n, tile, interpret)
-    return call(a, b, pb)
+    out = call(af, bf, pb)
+    if pad:
+        out = out[:, :nb]
+    return out.reshape((L,) + batch_shape)
