@@ -220,14 +220,20 @@ def bench_kzg(args, jax):
     coeffs = fr.encode([rng.randrange(fr.p) for _ in range(1 << m)])
     x0 = fr.encode(rng.randrange(fr.p))
 
+    # warmup (compile) pass, then steady-state timing
+    com = kzg.commit_poly(setup, coeffs)
+    [np.asarray(x) for x in com]
     t0 = time.time()
     com = kzg.commit_poly(setup, coeffs)
     [np.asarray(x) for x in com]
     commit_s = time.time() - t0
+    y0, proof = kzg.opening_proof(setup, coeffs, x0)
+    [np.asarray(x) for x in proof]
     t0 = time.time()
     y0, proof = kzg.opening_proof(setup, coeffs, x0)
     [np.asarray(x) for x in proof]
     open_s = time.time() - t0
+    ok = bool(kzg.verify_proof(setup, com, proof, x0, y0))
     t0 = time.time()
     ok = bool(kzg.verify_proof(setup, com, proof, x0, y0))
     verify_s = time.time() - t0

@@ -87,22 +87,34 @@ class NTTDomain:
 
     # -- transforms --------------------------------------------------------
     def _transform(self, x: jax.Array, tables: List[jax.Array]) -> jax.Array:
+        """Every stage's butterfly operands are flattened to ONE canonical
+        (L, *batch, n/2) shape, so all log2(n) stages share a single
+        compiled multiply/add/sub (instead of one compile per stage —
+        critical for large domains on hardware)."""
         f = self.field
         L, n = x.shape[0], self.n
         assert x.shape[-1] == n, f"domain size {n} != array size {x.shape[-1]}"
         batch = x.shape[1:-1]
+        nb = len(batch)
         x = jnp.take(x, jnp.asarray(self._perm), axis=-1)
+        if n == 1:
+            return x
         for s in range(1, self.m + 1):
             half = 1 << (s - 1)
             nblocks = n >> s
             xb = x.reshape((L,) + batch + (nblocks, 2, half))
-            u = xb[..., 0, :]
-            v = xb[..., 1, :]
-            tw = tables[s - 1].reshape((L,) + (1,) * len(batch) + (1, half))
-            t = f.mul(v, jnp.broadcast_to(tw, v.shape))
-            hi = f.add(u, t)
-            lo = f.sub(u, t)
-            x = jnp.concatenate([hi, lo], axis=-1).reshape((L,) + batch + (n,))
+            u = xb[..., 0, :].reshape((L,) + batch + (n // 2,))
+            v = xb[..., 1, :].reshape((L,) + batch + (n // 2,))
+            tw = jnp.broadcast_to(
+                tables[s - 1].reshape((L,) + (1,) * nb + (1, half)),
+                (L,) + batch + (nblocks, half),
+            ).reshape((L,) + batch + (n // 2,))
+            t = f.mul(v, tw)
+            hi = f.add(u, t).reshape((L,) + batch + (nblocks, half))
+            lo = f.sub(u, t).reshape((L,) + batch + (nblocks, half))
+            x = jnp.concatenate([hi, lo], axis=-1).reshape(
+                (L,) + batch + (n,)
+            )
         return x
 
     @jit_method
