@@ -36,12 +36,19 @@ class KZGSetup:
     tau_g2: AffBatch          # [tau] G2
 
 
-def new_setup(curve: CurveParams, log2_size: int, tau: int) -> KZGSetup:
+def new_setup(curve: CurveParams, log2_size: int, tau: int,
+              use_group_fft: bool = False) -> KZGSetup:
     """Trusted setup from a known tau (tests/bench only, like mkKZGSetup).
 
     powers of tau: log-depth prefix scan (V.powers); tau^i * G1: ONE
     batched double-and-add over all n points (the reference does n serial
-    scalar muls, KZG.hs:48)."""
+    scalar muls, KZG.hs:48).
+
+    Lagrange SRS: because tau is KNOWN here, the group iFFT collapses to
+    scalars — L_j(tau) = (tau^n - 1) / (n (tau w^-j - 1)) — so the
+    Lagrange points are ONE more batched scalar multiplication instead of
+    a full group FFT.  `use_group_fft=True` forces the general path
+    (the one a real ceremony output would need, cf. KZG.hs:55)."""
     ck = get_curves(curve)
     fr = ck.fr
     n = 1 << log2_size
@@ -54,8 +61,25 @@ def new_setup(curve: CurveParams, log2_size: int, tau: int) -> KZGSetup:
     tau_g1_proj = ck.g1.scalar_mul_fr_std(taus_std, G)
     tau_g1 = ck.g1.to_affine(tau_g1_proj)
 
-    gfft = get_group_fft(ck.g1, curve.fr, log2_size)
-    lagrange_proj = gfft.ifft(ck.g1.from_affine(tau_g1))
+    if use_group_fft:
+        gfft = get_group_fft(ck.g1, curve.fr, log2_size)
+        lagrange_proj = gfft.ifft(ck.g1.from_affine(tau_g1))
+    else:
+        from ..oracle.ntt import subgroup_gen
+
+        w = subgroup_gen(curve.fr, log2_size)
+        w_inv_pows = V.powers(fr, fr.one(()), fr.encode(pow(w, -1, fr.p)), n)
+        t_wj = V.scale(fr, fr.encode(tau), w_inv_pows)          # tau w^-j
+        denom = fr.mul(
+            fr.encode([n] * n),
+            fr.sub(t_wj, fr.one((n,))),
+        )
+        num = fr.encode((pow(tau, n, fr.p) - 1) % fr.p)
+        coeffs = fr.mul(
+            jnp.broadcast_to(num.reshape(fr.L, 1), (fr.L, n)),
+            fr.batch_inv(denom),
+        )
+        lagrange_proj = ck.g1.scalar_mul_fr_std(fr.from_mont(coeffs), G)
     lagrange = ck.g1.to_affine(lagrange_proj)
 
     g2 = ck.encode_g2([ck.oracle_g2.gen])
