@@ -159,3 +159,25 @@ def test_std_rep_ops(rng, fld):
     ]
     assert f.decode(f.std_inv(a), mont=False) == [o.inv(x) for x in av]
     assert f.decode(f.std_pow(a, 5), mont=False) == [o.pow(x, 5) for x in av]
+
+
+def test_sqrt_device(rng, fld):
+    f, o = fld
+    if f.p % 4 != 3:
+        pytest.skip("device sqrt needs p = 3 mod 4")
+    vals = [rng.randrange(o.p) for _ in range(8)]
+    squares = [v * v % o.p for v in vals]
+    a = f.encode(squares)
+    r, ok = f.sqrt(a)
+    assert all(np.asarray(ok))
+    got = f.decode(f.sqr(r))
+    assert got == squares
+    # non-residues flagged
+    nr = None
+    for cand in range(2, 50):
+        if o.sqrt(cand) is None:
+            nr = cand
+            break
+    if nr is not None:
+        _, ok2 = f.sqrt(f.encode([nr]))
+        assert not bool(np.asarray(ok2)[0])

@@ -262,6 +262,22 @@ class Field:
         out = jnp.where(zero_mask[None], jnp.zeros_like(out), out)
         return out.reshape(a.shape)
 
+    # -- square roots -------------------------------------------------------
+    @jit_method
+    def sqrt(self, a: jax.Array):
+        """(sqrt, is_square): for p = 3 mod 4 fields (both BN128 and
+        BLS12-381 Fp) via a^((p+1)/4); device analog of the oracle's
+        Tonelli-Shanks (pure/.../Sqrt.hs) fast path.  sqrt(non-residue)
+        reports is_square=False (root output undefined there)."""
+        if self.p % 4 != 3:
+            raise NotImplementedError(
+                "device sqrt implemented for p = 3 mod 4 only; "
+                "use the oracle for high-2-adicity fields"
+            )
+        r = self.pow_bits(a, jnp.asarray(int_to_bits((self.p + 1) // 4)))
+        ok = self.eq(self.sqr(r), a)
+        return r, ok
+
     # -- lazy wide reductions (for chunked sums, vector.py) ----------------
     @jit_method
     def reduce_wide(self, v: jax.Array) -> jax.Array:
