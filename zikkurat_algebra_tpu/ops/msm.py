@@ -63,6 +63,24 @@ def digits_from_limbs(k_limbs: jax.Array, c: int, nbits: int) -> jax.Array:
     return jnp.sum(bits * weights, axis=1).astype(jnp.int32)
 
 
+def signed_digits(digits: jax.Array, c: int) -> jax.Array:
+    """Unsigned c-bit window digits (W, N) -> BALANCED digits in
+    [-2^(c-1), 2^(c-1)] with one extra carry window appended (W+1, N).
+    Halves the bucket range: sum_w d_w 2^(cw) is preserved."""
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    def body(carry, d):
+        t = d + carry
+        neg = t > half
+        out = jnp.where(neg, t - full, t)
+        return neg.astype(jnp.int32), out
+
+    carry0 = jnp.zeros(digits.shape[1:], jnp.int32)
+    carry, out = lax.scan(body, carry0, digits)
+    return jnp.concatenate([out, carry[None]], 0)
+
+
 def _tree_reduce(ops: ProjCurveOps, P: Point) -> Point:
     """Sum points along the LAST axis by repeated halving (log depth);
     leading batch axes are preserved."""
@@ -225,8 +243,12 @@ class MSM:
         n = k_limbs.shape[-1]
         if c is None:
             c = window_size(n)
-        nbuckets = 1 << c
-        digits = digits_from_limbs(k_limbs, c, self.nbits)  # (W, N)
+        # BALANCED (signed) digits halve the bucket range: bucket index is
+        # |digit| in 1..2^(c-1), the sign conditionally negates the point
+        nbuckets = (1 << (c - 1)) + 1
+        digits = signed_digits(
+            digits_from_limbs(k_limbs, c, self.nbits), c
+        )                                                   # (W+1, N)
         W = digits.shape[0]
         if window_chunk is None:
             # 8 windows align with TPU sublanes; cap so the gathered
@@ -271,16 +293,22 @@ class MSM:
         row_counts = [r.shape[0] for r in packed_rows]
 
         def per_chunk(_, digit):
-            # digit: (wc, N).  Sort points by digit per window WITHOUT a
-            # gather: TPUs have no hardware gather (jnp.take lowers to
-            # serial/one-hot code), so the packed coordinate planes ride
-            # the sort network as sort_key_val payload — pure vector ops.
+            # digit: (wc, N) SIGNED.  Sort points by |digit| per window
+            # WITHOUT a gather: TPUs have no hardware gather (jnp.take
+            # lowers to serial/one-hot code), so the packed coordinate
+            # planes ride the sort network as sort_key_val payload — the
+            # sign rides as one extra payload row and conditionally
+            # negates y after the sort.
+            ad = jnp.abs(digit)
+            sg = (digit < 0).astype(jnp.int32)
             flat = jnp.broadcast_to(
                 packed[:, None, :], (packed.shape[0], wc, n)
             )
-            keys = jnp.broadcast_to(digit[None], flat.shape)
+            flat = jnp.concatenate([flat, sg[None]], 0)
+            keys = jnp.broadcast_to(ad[None], flat.shape)
             _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
-            d_sorted = lax.sort(digit, dimension=1)
+            d_sorted = lax.sort(ad, dimension=1)
+            sg_sorted = sorted_flat[-1] == 1                # (wc, n)
             Ps = []
             off = 0
             for shp, rc in zip(coord_shapes, row_counts):
@@ -293,6 +321,9 @@ class MSM:
                     rows *= s
                 Ps.append(full[:rows].reshape(shp[:-1] + (wc, n)))
                 off += rc
+            # negative digit => use -P (negate y)
+            y = Ps[1]
+            Ps[1] = ops.f.select(sg_sorted, ops.f.neg(y), y)
             Ps = tuple(Ps)
             rows = jnp.arange(wc, dtype=jnp.int32)[:, None]
             binf = ops.infinity((wc, nbuckets + 1))
