@@ -38,3 +38,31 @@ def test_curve_api_shape(rng):
     c = f.encode([1, 2, 3])
     assert f.decode(api.poly.eval_at(f.encode(2), c)) == (1 + 4 + 12) % f.p
     assert bls12_381().fp.p == bls12_381().params.fp.p
+
+
+def test_bigint_inc_dec(rng):
+    B = bigint(256)
+    top = 1 << 256
+    av = [0, 1, top - 1, rng.randrange(top)]
+    a = B.encode(av)
+    s, carry = B.inc(a)
+    assert B.decode(s) == [(v + 1) % top for v in av]
+    assert list(np.asarray(carry)) == [(v + 1) // top for v in av]
+    d, borrow = B.dec(a)
+    assert B.decode(d) == [(v - 1) % top for v in av]
+    assert list(np.asarray(borrow)) == [1 if v == 0 else 0 for v in av]
+
+
+def test_field_is_valid(rng):
+    from zikkurat_algebra_tpu.ops.field import get_field
+    from zikkurat_algebra_tpu import params as P
+
+    f = get_field(P.BN128_FR)
+    vals = [0, 1, f.p - 1]
+    a = f.encode(vals, mont=False)
+    assert all(np.asarray(f.is_valid(a)))
+    import jax.numpy as jnp
+    from zikkurat_algebra_tpu.ops.field import ints_to_limbs15
+
+    bad = jnp.asarray(ints_to_limbs15([f.p, f.p + 5], f.L))
+    assert not any(np.asarray(f.is_valid(bad)))

@@ -87,6 +87,18 @@ class BigInt:
         """16-bit word plane times bigint -> one extra limb (cf. `scale`)."""
         return lb.scale_word(w, a)
 
+    @jit_method
+    def inc(self, a):
+        """a + 1 with carry-out (cf. bigint256 `inc`)."""
+        one = jnp.zeros_like(a).at[0].set(1)
+        return lb.add(a, one)
+
+    @jit_method
+    def dec(self, a):
+        """a - 1 with borrow-out (cf. bigint256 `dec`)."""
+        one = jnp.zeros_like(a).at[0].set(1)
+        return lb.sub(a, one)
+
     # -- shifts --------------------------------------------------------------
     def shift_left(self, a, k: int):
         """Left shift by k bits (static), dropping overflow."""

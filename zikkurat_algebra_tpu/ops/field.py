@@ -262,6 +262,13 @@ class Field:
         out = jnp.where(zero_mask[None], jnp.zeros_like(out), out)
         return out.reshape(a.shape)
 
+    @jit_method
+    def is_valid(self, a) -> jax.Array:
+        """Whether a CANONICAL limb plane encodes a value < p
+        (cf. arr_mont `is_valid`): a survives cond_sub(p) unchanged."""
+        z = rl.cond_sub(a, self.consts(a))
+        return jnp.all(z == a, axis=0)
+
     # -- square roots -------------------------------------------------------
     @jit_method
     def sqrt(self, a: jax.Array):
