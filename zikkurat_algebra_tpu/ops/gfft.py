@@ -46,11 +46,16 @@ class GroupFFT:
         self._ninv_bits = jnp.asarray(self._to_bits([self.n_inv])[:, 0])
 
     def _to_bits(self, vals: List[int]) -> np.ndarray:
-        out = np.zeros((self.nbits, len(vals)), np.uint32)
+        """Vectorized int -> bit-plane conversion (a per-bit Python loop
+        would cost nbits*half operations — prohibitive for big domains)."""
+        n = len(vals)
+        nbytes = (self.nbits + 7) // 8
+        buf = bytearray(n * nbytes)
         for j, v in enumerate(vals):
-            for i in range(self.nbits):
-                out[i, j] = (v >> i) & 1
-        return out
+            buf[j * nbytes:(j + 1) * nbytes] = v.to_bytes(nbytes, "little")
+        B = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, nbytes)
+        bits = np.unpackbits(B, axis=1, bitorder="little")[:, :self.nbits]
+        return np.ascontiguousarray(bits.T.astype(np.uint32))
 
     def _stage_bits(self, g: int) -> List[jax.Array]:
         tables = []
