@@ -163,8 +163,6 @@ def test_std_rep_ops(rng, fld):
 
 def test_sqrt_device(rng, fld):
     f, o = fld
-    if f.p % 4 != 3:
-        pytest.skip("device sqrt needs p = 3 mod 4")
     vals = [rng.randrange(o.p) for _ in range(8)]
     squares = [v * v % o.p for v in vals]
     a = f.encode(squares)

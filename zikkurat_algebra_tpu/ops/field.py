@@ -272,18 +272,42 @@ class Field:
     # -- square roots -------------------------------------------------------
     @jit_method
     def sqrt(self, a: jax.Array):
-        """(sqrt, is_square): for p = 3 mod 4 fields (both BN128 and
-        BLS12-381 Fp) via a^((p+1)/4); device analog of the oracle's
-        Tonelli-Shanks (pure/.../Sqrt.hs) fast path.  sqrt(non-residue)
-        reports is_square=False (root output undefined there)."""
-        if self.p % 4 != 3:
-            raise NotImplementedError(
-                "device sqrt implemented for p = 3 mod 4 only; "
-                "use the oracle for high-2-adicity fields"
-            )
-        r = self.pow_bits(a, jnp.asarray(int_to_bits((self.p + 1) // 4)))
-        ok = self.eq(self.sqr(r), a)
-        return r, ok
+        """(sqrt, is_square): a^((p+1)/4) for p = 3 mod 4, else a
+        CONSTANT-ITERATION Tonelli-Shanks (the branch-free fixed-structure
+        loop of constant-time implementations — needed for the
+        high-2-adicity Fr fields).  Device analog of the oracle's
+        pure/.../Sqrt.hs.  sqrt(non-residue) reports is_square=False."""
+        if self.p % 4 == 3:
+            r = self.pow_bits(a, jnp.asarray(int_to_bits((self.p + 1) // 4)))
+            ok = self.eq(self.sqr(r), a)
+            return r, ok
+        p = self.p
+        q, s = p - 1, 0
+        while q % 2 == 0:
+            q //= 2
+            s += 1
+        g = self.params.multiplicative_gen
+        z0 = pow(g, q, p)                       # order 2^s
+        bs = a.shape[1:]
+        c = jnp.broadcast_to(
+            self._c(ints_to_limbs15(z0 * self.r_int % p, self.L),
+                    len(bs)), a.shape)
+        x = self.pow_bits(a, jnp.asarray(int_to_bits((q + 1) // 2)))
+        t = self.pow_bits(a, jnp.asarray(int_to_bits(q)))
+        minus1 = jnp.broadcast_to(
+            self._c(ints_to_limbs15((p - 1) * self.r_int % p, self.L),
+                    len(bs)), a.shape)
+        # fixed s-1 iterations; at level i, c has order 2^i
+        for i in range(s, 1, -1):
+            t2 = t
+            for _ in range(i - 2):
+                t2 = self.sqr(t2)
+            flag = self.eq(t2, minus1)
+            x = self.select(flag, self.mul(x, c), x)
+            c = self.sqr(c)
+            t = self.select(flag, self.mul(t, c), t)
+        ok = self.eq(self.sqr(x), a)
+        return x, ok
 
     # -- lazy wide reductions (for chunked sums, vector.py) ----------------
     @jit_method
