@@ -75,9 +75,19 @@ class NTTDomain:
         else:
             from .vector import powers
 
-            full = jax.jit(
-                lambda one, ge: powers(f, one, ge, half_max)
-            )(f.one(()), f.encode(g))
+            # the associative power ladder has log2(n) DISTINCT level
+            # shapes; routing them through the Pallas kernel would compile
+            # one Mosaic executable per level (minutes of setup on the
+            # remote-compile backend) — force the scan path for this
+            # one-time table build
+            old = f.use_pallas
+            f.use_pallas = False
+            try:
+                full = jax.jit(
+                    lambda one, ge: powers(f, one, ge, half_max)
+                )(f.one(()), f.encode(g))
+            finally:
+                f.use_pallas = old
         tables = []
         for s in range(1, self.m + 1):
             half = 1 << (s - 1)
