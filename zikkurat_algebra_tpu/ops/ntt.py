@@ -96,17 +96,21 @@ class NTTDomain:
         return tables
 
     # -- transforms --------------------------------------------------------
-    def _transform(self, x: jax.Array, tables: List[jax.Array]) -> jax.Array:
+    def _transform(self, x: jax.Array, tables: List[jax.Array],
+                   perm: jax.Array) -> jax.Array:
         """Every stage's butterfly operands are flattened to ONE canonical
         (L, *batch, n/2) shape, so all log2(n) stages share a single
         compiled multiply/add/sub (instead of one compile per stage —
-        critical for large domains on hardware)."""
+        critical for large domains on hardware).  Tables and the
+        bit-reversal permutation are passed as ARGUMENTS: closed-over
+        arrays would be inlined as (hundreds of MB of) HLO literals,
+        which overflows the remote-compile transport at 2^22."""
         f = self.field
         L, n = x.shape[0], self.n
         assert x.shape[-1] == n, f"domain size {n} != array size {x.shape[-1]}"
         batch = x.shape[1:-1]
         nb = len(batch)
-        x = jnp.take(x, jnp.asarray(self._perm), axis=-1)
+        x = jnp.take(x, perm, axis=-1)
         if n == 1:
             return x
         for s in range(1, self.m + 1):
@@ -128,18 +132,26 @@ class NTTDomain:
         return x
 
     @jit_method
-    def ntt(self, x: jax.Array) -> jax.Array:
-        """Forward NTT of Montgomery-form coefficients (L, *batch, n)."""
-        return self._transform(x, self._fwd)
+    def _ntt_impl(self, x, tables, perm):
+        return self._transform(x, list(tables), perm)
 
     @jit_method
+    def _intt_impl(self, x, tables, perm, ninv):
+        y = self._transform(x, list(tables), perm)
+        f = self.field
+        ninv = ninv.reshape((f.L,) + (1,) * (y.ndim - 1))
+        return f.mul(y, jnp.broadcast_to(ninv, y.shape))
+
+    def ntt(self, x: jax.Array) -> jax.Array:
+        """Forward NTT of Montgomery-form coefficients (L, *batch, n)."""
+        return self._ntt_impl(x, tuple(self._fwd), jnp.asarray(self._perm))
+
     def intt(self, x: jax.Array) -> jax.Array:
         """Inverse NTT (includes division by N, cf. ntt_inverse
         bn128_poly_mont.c:472-522)."""
-        y = self._transform(x, self._inv)
-        f = self.field
-        ninv = self._ninv_mont.reshape((f.L,) + (1,) * (y.ndim - 1))
-        return f.mul(y, jnp.broadcast_to(ninv, y.shape))
+        return self._intt_impl(
+            x, tuple(self._inv), jnp.asarray(self._perm), self._ninv_mont
+        )
 
     def __hash__(self):
         return id(self)
