@@ -253,8 +253,10 @@ class MSM:
         if window_chunk is None:
             # 8 windows align with TPU sublanes; cap so the gathered
             # coordinate arrays (~3 * L * 2 * wc * n * 4B) + scan
-            # temporaries stay well under HBM
-            window_chunk = max(1, min(8, (1 << 21) // max(n, 1)))
+            # temporaries stay well under HBM (signed digits halved the
+            # bucket arrays, which bought wc=4 at 2^20: measured 156.8k
+            # vs 126.4k points/s at wc=2)
+            window_chunk = max(1, min(8, (1 << 22) // max(n, 1)))
         wc = min(window_chunk, W)
         nchunks = -(-W // wc)
         if nchunks * wc != W:  # pad top windows with zero digits (inert)
