@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--block", type=int, default=128,
                     help="MSM level-1 segment block size (0=assoc-scan)")
     ap.add_argument("--c", type=int, default=None, help="MSM window bits")
+    ap.add_argument("--group", default="g1", choices=["g1", "g2"],
+                    help="MSM curve group (G2 coords are Fp2)")
     ap.add_argument("--workload", default="msm",
                     choices=["msm", "ntt", "fieldmul", "kzg"],
                     help="which BASELINE workload to time")
@@ -74,7 +76,12 @@ def main():
     ck = get_curves(curve)
     fr = ck.fr
     fp = ck.tower.fp
-    msm = ck.msm("g1")
+    grp = args.group
+    msm = ck.msm(grp)
+    gops = ck.g1 if grp == "g1" else ck.g2
+    encode_pts = ck.encode_g1 if grp == "g1" else ck.encode_g2
+    decode_pts = ck.decode_g1 if grp == "g1" else ck.decode_g2
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
     n = 1 << args.n
 
     # synthesize points cheaply: random multiples of G via one batched
@@ -92,12 +99,10 @@ def main():
     k_limbs = jnp.asarray(ints_to_limbs15(ks, fr.L))
     seed_scalars = rand_field_ints(min(n, 1024), fr.p)
     # build a base set of distinct points: s_i * G for 1024 seeds, tiled
-    og = ck.oracle_g1
-    base_pts = None
-    G = ck.g1.from_affine(ck.encode_g1([og.gen] * len(seed_scalars)))
+    G = gops.from_affine(encode_pts([og.gen] * len(seed_scalars)))
     s_limbs = fr.encode(seed_scalars, mont=False)
-    seeds_proj = ck.g1.scalar_mul_fr_std(s_limbs, G)
-    seeds_aff = ck.g1.to_affine(seeds_proj)
+    seeds_proj = gops.scalar_mul_fr_std(s_limbs, G)
+    seeds_aff = gops.to_affine(seeds_proj)
     reps = n // len(seed_scalars) if n >= len(seed_scalars) else 1
     pts = tuple(
         jnp.tile(c, (1,) * (c.ndim - 1) + (reps,))[..., :n] for c in seeds_aff[:2]
@@ -109,13 +114,13 @@ def main():
         m = 1 << args.check
         want = og.msm(
             ks[:m],
-            ck.decode_g1(tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],)),
+            decode_pts(tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],)),
         )
         got_pt = msm.msm_std(
             jnp.asarray(ints_to_limbs15(ks[:m], fr.L)),
             tuple(cc[..., :m] for cc in pts[:2]) + (pts[2][:m],),
         )
-        got = ck.decode_g1(ck.g1.to_affine(got_pt))
+        got = decode_pts(gops.to_affine(got_pt))
         assert got == want, "MSM cross-check vs oracle FAILED"
 
     def fetch(r):
@@ -144,7 +149,7 @@ def main():
 
     baseline_pps = _cpp_baseline_pps(args)
     out = {
-        "metric": f"{args.curve.lower().replace('-', '_')}_g1_msm_2e{args.n}_points_per_sec",
+        "metric": f"{args.curve.lower().replace('-', '_')}_{grp}_msm_2e{args.n}_points_per_sec",
         "value": round(pps, 2),
         "unit": "points/s",
         "vs_baseline": round(pps / baseline_pps, 4) if baseline_pps else 0.0,
@@ -288,6 +293,8 @@ def bench_fieldmul(args, jax):
 def _cpp_baseline_pps(args):
     """CPU baseline points/s: prefer the REFERENCE's own compiled C
     (scripts/build_reference.sh), fall back to cpp/build/msm_bench."""
+    if getattr(args, "group", "g1") != "g1":
+        return None   # no native G2 baseline wired up (FFI exposes G1 MSM only)
     if args.n <= 18:
         try:
             from zikkurat_algebra_tpu.utils.reference_ffi import (
