@@ -27,8 +27,9 @@ def main():
     ap.add_argument("--curve", default="BLS12-381")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--check", type=int, default=0,
-                    help="cross-check a 2^check-point prefix vs the oracle")
+    ap.add_argument("--check", type=int, default=6,
+                    help="cross-check a 2^check-point prefix vs the oracle "
+                         "(0 disables)")
     ap.add_argument("--window-chunk", type=int, default=None,
                     help="MSM windows per scan batch (None=auto)")
     ap.add_argument("--block", type=int, default=128,

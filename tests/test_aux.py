@@ -32,6 +32,19 @@ def test_srs_checkpoint_roundtrip(rng, tmp_path):
     b = ck.decode_g1(ck.g1.to_affine(kzg.commit_poly(loaded, coeffs)))
     assert a == b
 
+    # corrupting any limb data must be detected by the content digest
+    import json
+    import zipfile
+
+    z = np.load(path, allow_pickle=False)
+    arrays = {k: np.array(z[k]) for k in z.files}
+    arrays["tau_g1_x"] = arrays["tau_g1_x"].copy()
+    arrays["tau_g1_x"].reshape(-1)[0] += 1
+    bad = str(tmp_path / "srs_bad.npz")
+    np.savez_compressed(bad, **arrays)
+    with pytest.raises(ValueError, match="digest"):
+        srs_io.load_setup(bad)
+
 
 def test_sage_setup_export():
     s = sage_setup(P.BN128)

@@ -85,8 +85,7 @@ def _build_mont_mul(L: int, pinv15: int, n: int, tile: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((L, n), I32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.ANY
-                         if False else pltpu.VMEM),
+            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -147,7 +147,6 @@ def verify_proof(setup: KZGSetup, commitment: Point, proof: Point,
     G = tuple(p[..., 0] for p in G)
     y0G = g1.scalar_mul_fr_std(y0_std[..., 0], G)
     adj = g1.sub(g1.add(commitment, x0Q), y0G)
-    adj_aff = g1.to_affine(adj)
 
     # single multi-pairing: e(comQ, tau*G2) * e(-adj, G2) == 1 — one
     # shared final exponentiation instead of two full pairings
