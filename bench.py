@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--group", default="g1", choices=["g1", "g2"],
                     help="MSM curve group (G2 coords are Fp2)")
     ap.add_argument("--workload", default="msm",
-                    choices=["msm", "ntt", "fieldmul", "kzg"],
+                    choices=["msm", "ntt", "fieldmul", "kzg", "pairing"],
                     help="which BASELINE workload to time")
     args = ap.parse_args()
 
@@ -72,6 +72,8 @@ def main():
         return bench_fieldmul(args, jax)
     if args.workload == "kzg":
         return bench_kzg(args, jax)
+    if args.workload == "pairing":
+        return bench_pairing(args, jax)
 
     curve = P.CURVES[args.curve]
     ck = get_curves(curve)
@@ -253,6 +255,70 @@ def bench_kzg(args, jax):
     print(json.dumps(out))
     print(f"# setup={setup_s:.1f}s commit={commit_s:.2f}s open={open_s:.2f}s "
           f"verify={verify_s:.2f}s backend={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
+def bench_pairing(args, jax):
+    """Batched optimal-Ate pairings/sec (BASELINE config 5: Fp12 tower,
+    Miller loop + final exponentiation).  The batch axis is free
+    parallelism on TPU — the reference computes one pairing per call, so
+    vs_baseline = (TPU batched pairings/s) / (reference C pairings/s)."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+    from zikkurat_algebra_tpu.ops.pairing import get_pairing
+
+    curve = P.CURVES[args.curve]
+    ck = get_curves(curve)
+    pk = get_pairing(curve)
+    b = 1 << min(args.n, 6)          # pairing batch (default 2^6 = 64)
+    rng = random.Random(99)
+    og1, og2 = ck.oracle_g1, ck.oracle_g2
+    p1s = [og1.rnd(rng) for _ in range(min(b, 8))] * (max(b // 8, 1))
+    q2s = [og2.rnd(rng) for _ in range(min(b, 8))] * (max(b // 8, 1))
+    Pb = ck.encode_g1(p1s[:b])
+    Qb = ck.encode_g2(q2s[:b])
+
+    if args.check:
+        want = pk.oracle.pairing(p1s[0], q2s[0])
+        got = pk.tower.decode_fp12(pk.pairing(
+            tuple(c[..., :1] for c in Pb), tuple(c[..., :1] for c in Qb)
+        ))[0]
+        assert got == want, "pairing cross-check vs oracle FAILED"
+
+    def fetch(r):
+        np.asarray(r.reshape(-1)[:4])
+
+    out = pk.pairing(Pb, Qb)
+    fetch(out)
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = pk.pairing(Pb, Qb)
+        fetch(out)
+    per = (time.time() - t0) / iters
+    pps = b / per
+
+    baseline = None
+    try:
+        from zikkurat_algebra_tpu.utils.reference_ffi import (
+            time_reference_pairing,
+        )
+        baseline, _ = time_reference_pairing(args.curve)
+        print(f"# baseline = reference C pairing: {baseline:.1f} pairings/s",
+              file=sys.stderr)
+    except Exception:
+        pass
+    out = {
+        "metric": f"{args.curve.lower().replace('-', '_')}_pairing_batch{b}_per_sec",
+        "value": round(pps, 2),
+        "unit": "pairings/s",
+        "vs_baseline": round(pps / baseline, 4) if baseline else 0.0,
+    }
+    print(json.dumps(out))
+    print(f"# batch={b} per_batch={per*1e3:.0f}ms backend={jax.devices()[0].platform}",
           file=sys.stderr)
 
 

@@ -120,6 +120,40 @@ def test_scalar_mul(rng, ck, grp):
     assert got == [og.scalar_mul(k, p) for k, p in zip(ks, av)]
 
 
+def test_windowed_vs_bitscan(rng, ck):
+    """The 4-bit windowed kernel must agree with the plain double-and-add
+    bit scan (its differential baseline) and with the oracle, including
+    edge scalars 0, 1, r-1 and digit-boundary values."""
+    from zikkurat_algebra_tpu.ops.curve import (
+        limbs_to_bits, limbs_to_digits_msb,
+    )
+
+    og = ck.oracle_g1
+    ops = ck.g1
+    fr = ck.fr
+    av = rnd_points(rng, og, 6)
+    A = ops.from_affine(ck.encode_g1(av))
+    ks = [0, 1, og.r - 1, 0x8888, rng.randrange(og.r), rng.randrange(og.r)]
+    k_limbs = fr.encode(ks, mont=False)
+    got_win = ck.decode_g1(
+        ops.to_affine(ops.scalar_mul_digits(limbs_to_digits_msb(k_limbs), A))
+    )
+    got_bits = ck.decode_g1(
+        ops.to_affine(ops.scalar_mul_bits(limbs_to_bits(k_limbs), A))
+    )
+    want = [og.scalar_mul(k, p) for k, p in zip(ks, av)]
+    assert got_win == want
+    assert got_bits == want
+
+    # digit planes reconstruct the scalar (MSB-first, 4-bit)
+    d = np.asarray(limbs_to_digits_msb(k_limbs))
+    for j, k in enumerate(ks):
+        v = 0
+        for s in range(d.shape[0]):
+            v = (v << 4) | int(d[s, j])
+        assert v == k
+
+
 def test_subgroup_check_g1(rng, ck):
     og = ck.oracle_g1
     ops = ck.g1

@@ -201,7 +201,8 @@ class ProjCurveOps:
     @jit_method
     def scalar_mul_bits(self, bits: jax.Array, P: Point) -> Point:
         """[k] P with k as little-endian bit planes (B, *batch):
-        branch-free double-and-add scan."""
+        branch-free double-and-add scan (the simple reference formulation,
+        kept as the differential baseline for the windowed kernel)."""
         bs = P[0].shape[self.f.struct_ndim:]
         acc0 = self.infinity(bs)
 
@@ -213,12 +214,85 @@ class ProjCurveOps:
         (acc, _), _ = lax.scan(body, (acc0, P), jnp.asarray(bits, U32))
         return acc
 
+    WINDOW = 4  # scalar-mul window bits (16-entry table, like the
+    #             reference's scl_windowed, bls12_381_G1_proj.c:434-468)
+
+    def _window_table(self, P: Point):
+        """[0..15] P as ONE batched point with a leading table axis per
+        coordinate.  Built in log-depth batched levels (3 dbl + 3 add
+        rounds over growing batches) instead of 14 serial adds."""
+        inf = self.infinity(P[0].shape[self.f.struct_ndim:])
+        tab = {0: inf, 1: P}
+        size = 1 << self.WINDOW
+
+        def cat(Ps):
+            return tuple(
+                jnp.stack([q[i] for q in Ps], axis=self.f.struct_ndim)
+                for i in range(3)
+            )
+
+        def uncat(Pb, n):
+            idx = [slice(None)] * self.f.struct_ndim
+            return [
+                tuple(q[tuple(idx + [j])] for q in Pb) for j in range(n)
+            ]
+
+        k = 1
+        while 2 * k < size:
+            # evens 2t = dbl(t) for t in [k, 2k); odds 2t+1 = evens + P
+            srcs = [tab[t] for t in range(k, 2 * k)]
+            evens = uncat(self.dbl(cat(srcs)), k)
+            odds = uncat(self.add(cat(evens), cat([P] * k)), k)
+            for j in range(k):
+                tab[2 * (k + j)] = evens[j]
+                tab[2 * (k + j) + 1] = odds[j]
+            k *= 2
+        return cat([tab[t] for t in range(size)])
+
+    def _select_entry(self, table: Point, digit: jax.Array) -> Point:
+        """Branch-free 16-way table lookup: a where-chain over the table
+        axis (TPUs have no hardware gather; 15 selects cost ~2% of the
+        group add they feed)."""
+        axis = self.f.struct_ndim
+        idx0 = [slice(None)] * axis
+        out = tuple(t[tuple(idx0 + [0])] for t in table)
+        for tval in range(1, 1 << self.WINDOW):
+            ent = tuple(t[tuple(idx0 + [tval])] for t in table)
+            out = self.select(digit == tval, ent, out)
+        return out
+
+    @jit_method
+    def scalar_mul_digits(self, digits: jax.Array, P: Point) -> Point:
+        """[k] P with k as MSB-first 4-bit digit planes (S, *batch):
+        windowed double-and-add — 4 dblings + ONE table add per digit
+        (~64 adds instead of ~255 for a 255-bit scalar).  TPU analog of
+        the reference's scl_windowed (bls12_381_G1_proj.c:434-468), with
+        the 15-entry table batched across all points at once."""
+        table = self._window_table(P)
+        bs = P[0].shape[self.f.struct_ndim:]
+        acc0 = self.infinity(bs)
+
+        def body(acc, digit):
+            for _ in range(self.WINDOW):
+                acc = self.dbl(acc)
+            return self.add(acc, self._select_entry(table, digit)), None
+
+        acc, _ = lax.scan(body, acc0, jnp.asarray(digits, jnp.int32))
+        return acc
+
     def scalar_mul_static(self, k: int, P: Point) -> Point:
         if k == 0:
             return self.infinity(P[0].shape[self.f.struct_ndim:])
         if k < 0:
             return self.neg(self.scalar_mul_static(-k, P))
-        return self.scalar_mul_bits(jnp.asarray(int_to_bits(k)), P)
+        digits = int_to_digits_msb(k, self.WINDOW)
+        bs = P[0].shape[self.f.struct_ndim:]
+        d = jnp.asarray(digits, jnp.int32).reshape(
+            (len(digits),) + (1,) * len(bs)
+        )
+        return self.scalar_mul_digits(
+            jnp.broadcast_to(d, (len(digits),) + bs), P
+        )
 
     # -- subgroup machinery (cf. is_in_subgroup / cofactor muls,
     #    bn128_G1_affine.c:113-130, bls12_381_G2_proj.c:198-207) ----------
@@ -239,8 +313,9 @@ class ProjCurveOps:
     @jit_method
     def scalar_mul_fr_std(self, k_limbs: jax.Array, P: Point) -> Point:
         """[k] P with k a CANONICAL standard-rep scalar limb plane
-        (Lr, *batch) (cf. scl_big / scl_Fr_mont after from_mont)."""
-        return self.scalar_mul_bits(limbs_to_bits(k_limbs), P)
+        (Lr, *batch) (cf. scl_big / scl_Fr_mont after from_mont);
+        windowed."""
+        return self.scalar_mul_digits(limbs_to_digits_msb(k_limbs), P)
 
     def __hash__(self):
         return id(self)
@@ -258,6 +333,38 @@ def limbs_to_bits(a: jax.Array) -> jax.Array:
     )
     bits = (a[:, None] >> shifts) & 1
     return bits.reshape((L * rl.LB,) + a.shape[1:]).astype(U32)
+
+
+def limbs_to_digits_msb(a: jax.Array, w: int = 4) -> jax.Array:
+    """(L, *batch) CANONICAL limb planes -> (S, *batch) MSB-first w-bit
+    digit planes for windowed scalar multiplication (digits straddle the
+    15-bit limb boundary, cf. bn128_G1_jac.c:600-605)."""
+    bits = limbs_to_bits(a)                       # (15L, *batch) LSB-first
+    nb = bits.shape[0]
+    pad = (-nb) % w
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((pad,) + bits.shape[1:], U32)], 0
+        )
+    s = bits.shape[0] // w
+    bits = bits.reshape((s, w) + bits.shape[1:])
+    weights = (jnp.uint32(1) << jnp.arange(w, dtype=U32)).reshape(
+        (1, w) + (1,) * (bits.ndim - 2)
+    )
+    digits = jnp.sum(bits * weights, axis=1).astype(I32)
+    return jnp.flip(digits, 0)
+
+
+def int_to_digits_msb(k: int, w: int = 4):
+    """Static int -> MSB-first w-bit digit list (at least one digit)."""
+    assert k >= 0
+    digits = []
+    while k:
+        digits.append(k & ((1 << w) - 1))
+        k >>= w
+    if not digits:
+        digits = [0]
+    return digits[::-1]
 
 
 class CurveKernels:

@@ -43,7 +43,7 @@ class GroupFFT:
         self._perm = bit_reverse_perm(self.m)
         self._fwd = self._stage_bits(self.gen)
         self._inv = self._stage_bits(self.gen_inv)
-        self._ninv_bits = jnp.asarray(self._to_bits([self.n_inv])[:, 0])
+        self._ninv_digits = jnp.asarray(self._to_digits([self.n_inv])[:, 0])
 
     def _to_bits(self, vals: List[int]) -> np.ndarray:
         """Vectorized int -> bit-plane conversion (a per-bit Python loop
@@ -57,6 +57,21 @@ class GroupFFT:
         bits = np.unpackbits(B, axis=1, bitorder="little")[:, :self.nbits]
         return np.ascontiguousarray(bits.T.astype(np.uint32))
 
+    def _to_digits(self, vals: List[int], w: int = 4) -> np.ndarray:
+        """int list -> (S, n) MSB-first w-bit digit planes (windowed
+        scalar-mul input)."""
+        bits = self._to_bits(vals)                    # (nbits, n) LSB-first
+        nb = bits.shape[0]
+        pad = (-nb) % w
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((pad, bits.shape[1]), np.uint32)], 0
+            )
+        s = bits.shape[0] // w
+        weights = (1 << np.arange(w, dtype=np.uint32)).reshape(1, w, 1)
+        digits = (bits.reshape(s, w, -1) * weights).sum(1).astype(np.int32)
+        return np.ascontiguousarray(digits[::-1])
+
     def _stage_bits(self, g: int) -> List[jax.Array]:
         tables = []
         for s in range(1, self.m + 1):
@@ -66,7 +81,7 @@ class GroupFFT:
             for _ in range(half):
                 tw.append(acc)
                 acc = acc * w % self.r
-            tables.append(jnp.asarray(self._to_bits(tw)))  # (nbits, half)
+            tables.append(jnp.asarray(self._to_digits(tw)))  # (S, half)
         return tables
 
     def _transform(self, P: Point, tables: List[jax.Array]) -> Point:
@@ -83,8 +98,8 @@ class GroupFFT:
             Pb = tuple(p.reshape(struct + (nblocks, 2, half)) for p in P)
             U = tuple(p[..., 0, :] for p in Pb)
             V = tuple(p[..., 1, :] for p in Pb)
-            bits = tables[s - 1][:, None, :]          # (nbits, 1, half)
-            T = ops.scalar_mul_bits(bits, V)
+            digits = tables[s - 1][:, None, :]        # (S, 1, half)
+            T = ops.scalar_mul_digits(digits, V)
             hi = ops.add(U, T)
             lo = ops.sub(U, T)
             P = tuple(
@@ -102,9 +117,9 @@ class GroupFFT:
     def ifft(self, P: Point) -> Point:
         """Inverse curve FFT incl. 1/N scalar mul (fft_inverse)."""
         Q = self._transform(P, self._inv)
-        bits = self._ninv_bits[:, None]
-        return self.ops.scalar_mul_bits(
-            jnp.broadcast_to(bits, (self.nbits, Q[0].shape[-1])), Q
+        d = self._ninv_digits[:, None]
+        return self.ops.scalar_mul_digits(
+            jnp.broadcast_to(d, (d.shape[0], Q[0].shape[-1])), Q
         )
 
     def __hash__(self):

@@ -206,6 +206,42 @@ class ReferenceLib:
         return out
 
 
+def time_reference_pairing(curve_name: str, iters: int = 4,
+                           seed: int = 777):
+    """Measure the REFERENCE's own single-threaded optimal-Ate pairing
+    (pairings/s) on this host — the CPU baseline for BASELINE config 5."""
+    import time
+    import random
+
+    rl = ReferenceLib(curve_name)
+    from ..oracle.groups import g1_group, g2_group
+    from .. import params as P
+
+    curve = P.CURVES[curve_name]
+    og1 = g1_group(curve)
+    og2 = g2_group(curve)
+    rng = random.Random(seed)
+    p1 = og1.rnd(rng)
+    q2 = og2.rnd(rng)
+    n = rl.p_words
+    Pw = rl.g1_affine_words(p1)
+    Q = np.zeros(4 * n, np.uint64)
+    coords = [q2[0][0], q2[0][1], q2[1][0], q2[1][1]]
+    for i, c in enumerate(coords):
+        std = rl.int_to_words(c, n)
+        mont = np.zeros(n, np.uint64)
+        rl._fn("Fp_mont_from_std")(rl._ptr(std), rl._ptr(mont))
+        Q[i * n:(i + 1) * n] = mont
+    out = np.zeros(12 * n, np.uint64)
+    fn = rl._fn("pairing_affine")
+    fn(rl._ptr(Pw), rl._ptr(Q), rl._ptr(out))  # warm
+    t0 = time.time()
+    for _ in range(iters):
+        fn(rl._ptr(Pw), rl._ptr(Q), rl._ptr(out))
+    secs = (time.time() - t0) / iters
+    return 1.0 / secs, secs
+
+
 def time_reference_msm(curve_name: str, log2n: int, seed: int = 12345):
     """Measure the REFERENCE's own single-threaded C Pippenger MSM
     (points/s) on this host — the authoritative CPU baseline."""
