@@ -87,3 +87,22 @@ def test_fp12_frobenius(rng, tw):
     # conj == x^(p^6)
     got6 = tw.decode_fp12(tw.fp12_conj(a))
     assert got6 == [o.conj(x) for x in av]
+
+
+def test_fp2_fp6_frobenius_per_level(rng, tw):
+    """Per-level tower Frobenius (device) vs oracle AND vs naive x^p
+    (the reference exposes frobenius on Fp2/Fp6 too,
+    bls12_381_Fp2_mont.c:253-283, bls12_381_Fp6_mont.h:9-10)."""
+    o2, o6 = tw.oracle.fp2, tw.oracle.fp6
+    p = o2.p
+    av2 = _rnd2(rng, o2, 6)
+    a2 = tw.encode_fp2(av2)
+    got = tw.decode_fp2(tw.fp2_frobenius(a2))
+    assert got == [o2.frobenius(x) for x in av2]
+    assert got == [o2.pow(x, p) for x in av2]
+
+    av6 = _rnd2(rng, o6, 4)
+    a6 = tw.encode_fp6(av6)
+    got6 = tw.decode_fp6(tw.fp6_frobenius(a6))
+    assert got6 == [o6.frobenius(x) for x in av6]
+    assert got6 == [o6.pow(x, p) for x in av6]

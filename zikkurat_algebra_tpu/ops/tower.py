@@ -285,6 +285,29 @@ class TowerKernels:
         gs = self.oracle.fp12._gammas()
         self._gammas_dev = [self.encode_fp2_const(g) for g in gs]
 
+    # -- per-level tower Frobenius (device analog of the reference's
+    #    Fp2/Fp6 `frobenius` surface, bls12_381_Fp2_mont.c:253-283 and
+    #    bls12_381_Fp6_mont.h:9-10) ----------------------------------------
+    def fp2_frobenius(self, a):
+        """x -> x^p over Fp2: conjugation (u^2 = -1, p = 3 mod 4)."""
+        return self.fp2.conj(a)
+
+    @jit_method
+    def fp6_frobenius(self, a):
+        """x -> x^p over Fp6: conj each Fp2 coefficient, scale coefficient
+        i by gamma_{2i} = xi^(i(p-1)/3); ONE fused Fp2 mul batch."""
+        f2 = self.fp2
+        nb = a.ndim - 3
+        pairs = []
+        for i, g in ((1, self._gammas_dev[2]), (2, self._gammas_dev[4])):
+            c = f2.conj(a[:, i])
+            gb = jnp.broadcast_to(
+                jnp.reshape(g, g.shape + (1,) * nb), c.shape
+            )
+            pairs.append((c, gb))
+        o1, o2 = f2.mul_list(pairs)
+        return jnp.stack([f2.conj(a[:, 0]), o1, o2], 1)
+
     # -- constant encoders --------------------------------------------------
     def encode_fp2_const(self, c) -> jax.Array:
         return jnp.stack([self.fp.encode(c[0]), self.fp.encode(c[1])], 1)

@@ -164,6 +164,20 @@ class Fp6Field:
         f = self.fp2
         return (f.mul_xi(a[2]), a[0], a[1])
 
+    def frobenius(self, a):
+        """x -> x^p: v^p = xi^((p-1)/3) v, so frob(a0 + a1 v + a2 v^2) =
+        conj(a0) + conj(a1) g2 v + conj(a2) g4 v^2 with g_i = xi^(i(p-1)/6)
+        (cf. the generated sparse tables, bls12_381_Fp6_mont.h:9-10)."""
+        f = self.fp2
+        e = (self.p - 1) // 3
+        g2 = f.pow(f.xi, e)
+        g4 = f.sqr(g2)
+        return (
+            f.conj(a[0]),
+            f.mul(f.conj(a[1]), g2),
+            f.mul(f.conj(a[2]), g4),
+        )
+
     def scale_fp2(self, k, a):
         f = self.fp2
         return tuple(f.mul(k, x) for x in a)

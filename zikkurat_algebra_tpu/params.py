@@ -239,6 +239,34 @@ BLS12_381 = CurveParams(
     family="bls",
 )
 
+# ---------------------------------------------------------------------------
+# Corner-case TEST primes (near powers of two), the analog of the
+# reference's test-prime table (codegen/src/Zikkurat/Primes.hs:17-62).
+# Chosen to stress the signed radix-2^15 limb core: limb counts L in
+# 5..20, p straddling the 15-bit limb boundaries (2^45, 2^60 are exactly
+# 3 and 4 limbs), Mersenne primes (all-ones limbs), goldilocks, and both
+# p mod 4 classes (the p = 1 mod 4 ones exercise constant-iteration
+# Tonelli-Shanks).  `multiplicative_gen` is a quadratic non-residue.
+# ---------------------------------------------------------------------------
+
+TEST_PRIMES = {
+    "M31": FieldParams(name="test/2^31-1", p=2**31 - 1, multiplicative_gen=3),
+    "P45-": FieldParams(name="test/2^45-55", p=2**45 - 55, multiplicative_gen=5),
+    "P45+": FieldParams(name="test/2^45+59", p=2**45 + 59, multiplicative_gen=2),
+    "P60-": FieldParams(name="test/2^60-93", p=2**60 - 93, multiplicative_gen=2),
+    "M61": FieldParams(name="test/2^61-1", p=2**61 - 1, multiplicative_gen=3),
+    "goldilocks": FieldParams(
+        name="test/goldilocks", p=2**64 - 2**32 + 1, multiplicative_gen=7,
+        fft_domain=(32, pow(7, (2**64 - 2**32) >> 32, 2**64 - 2**32 + 1)),
+    ),
+    "P64+": FieldParams(name="test/2^64+13", p=2**64 + 13, multiplicative_gen=2),
+    "M127": FieldParams(name="test/2^127-1", p=2**127 - 1, multiplicative_gen=3),
+    "P255-19": FieldParams(
+        name="test/2^255-19", p=2**255 - 19, multiplicative_gen=2
+    ),
+    "P255+": FieldParams(name="test/2^255+95", p=2**255 + 95, multiplicative_gen=3),
+}
+
 CURVES = {"BN128": BN128, "BLS12-381": BLS12_381}
 FIELDS = {
     "BN128/Fp": BN128_FP,
