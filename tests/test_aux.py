@@ -73,3 +73,29 @@ def test_profiling_helpers():
 
     secs, r = timed(jax.jit(lambda x: x * 2), jnp.arange(8), iters=2)
     assert secs >= 0 and int(np.asarray(r)[3]) == 6
+
+
+def test_typed_boundary_errors():
+    """API boundaries raise typed errors (survive python -O), the analog
+    of the reference's binding-layer dimension errors (G1/Proj.hs:239,
+    Class/FFT.hs:61-63)."""
+    import jax.numpy as jnp
+    import pytest
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.errors import (
+        DimensionError, DomainSizeError, ZikkuratError)
+    from zikkurat_algebra_tpu.ops.field import get_field
+    from zikkurat_algebra_tpu.ops.ntt import get_domain
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+
+    f = get_field(P.BN128_FR)
+    dom = get_domain(f, 3)
+    with pytest.raises(DomainSizeError):
+        dom.ntt(f.encode(list(range(4))))  # length 4 into a 2^3 domain
+    ck = get_curves(P.BN128)
+    ks = f.encode([1, 2, 3], mont=False)
+    pts = ck.encode_g1([ck.oracle_g1.gen] * 4)
+    with pytest.raises(DimensionError):
+        ck.msm("g1").msm_std(ks, pts, 4)
+    assert issubclass(DimensionError, ZikkuratError)
+    assert issubclass(DomainSizeError, ValueError)

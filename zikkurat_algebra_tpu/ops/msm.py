@@ -241,6 +241,13 @@ class MSM:
         (0 = use the associative-scan formulation instead)."""
         ops = self.ops
         n = k_limbs.shape[-1]
+        if points[0].shape[-1] != n or points[1].shape[-1] != n:
+            from ..errors import DimensionError
+
+            raise DimensionError(
+                f"incompatible array dimensions: {n} scalars vs "
+                f"{points[0].shape[-1]} points (cf. G1/Proj.hs:239)"
+            )
         if c is None:
             c = window_size(n)
         # BALANCED (signed) digits halve the bucket range: bucket index is

@@ -107,7 +107,13 @@ class NTTDomain:
         which overflows the remote-compile transport at 2^22."""
         f = self.field
         L, n = x.shape[0], self.n
-        assert x.shape[-1] == n, f"domain size {n} != array size {x.shape[-1]}"
+        if x.shape[-1] != n:
+            from ..errors import DomainSizeError
+
+            raise DomainSizeError(
+                f"domain size {n} != array size {x.shape[-1]} "
+                f"(cf. Class/FFT.hs:61-63)"
+            )
         batch = x.shape[1:-1]
         nb = len(batch)
         x = jnp.take(x, perm, axis=-1)

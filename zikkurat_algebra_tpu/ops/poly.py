@@ -56,7 +56,12 @@ class PolyOps:
     def pad_to(self, a: jax.Array, n: int) -> jax.Array:
         if a.shape[-1] == n:
             return a
-        assert a.shape[-1] < n
+        if a.shape[-1] > n:
+            from ..errors import DimensionError
+
+            raise DimensionError(
+                f"cannot pad length {a.shape[-1]} down to {n}"
+            )
         cfg = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
         return jnp.pad(a, cfg)
 
@@ -170,7 +175,12 @@ class PolyOps:
         na, db1 = a.shape[-1], b.shape[-1]
         db = db1 - 1                      # divisor degree
         nq = na - db
-        assert nq >= 1, "dividend shorter than divisor"
+        if nq < 1:
+            from ..errors import DimensionError
+
+            raise DimensionError(
+                f"dividend (len {na}) shorter than divisor (len {db1})"
+            )
         lead_inv = f.inv(b[..., -1])      # (L,)
         rem0 = a
 

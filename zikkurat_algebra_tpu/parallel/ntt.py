@@ -48,14 +48,18 @@ class ShardedNTT:
         self.m = log2_size
         self.n = 1 << log2_size
         self.mesh = mesh
+        from ..errors import DomainSizeError, MeshError
+
         d = mesh.devices.size
-        assert d & (d - 1) == 0, "device count must be a power of two"
+        if d & (d - 1) != 0:
+            raise MeshError(f"device count {d} must be a power of two")
         self.ndev = d
         m2 = max((log2_size + 1) // 2, (d - 1).bit_length())
         m1 = log2_size - m2
-        assert (1 << m1) >= d and (1 << m2) >= d, (
-            f"domain 2^{log2_size} too small for {d} devices"
-        )
+        if (1 << m1) < d or (1 << m2) < d:
+            raise DomainSizeError(
+                f"domain 2^{log2_size} too small for {d} devices"
+            )
         self.m1, self.m2 = m1, m2
         self.n1, self.n2 = 1 << m1, 1 << m2
         self.dom1 = get_domain(field, m1)
