@@ -1,0 +1,96 @@
+"""Differential tests for the Pallas TPU kernels (interpret mode on CPU).
+
+Every kernel must be bit-identical to the XLA scan formulation (which is
+itself bit-exact vs oracle/) — the bench then only has to check VALUES on
+hardware, not re-derive trust.  Sizes are kept small: interpret mode
+executes the Mosaic program in pure Python/XLA emulation.
+"""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from zikkurat_algebra_tpu.params import BLS12_381_FR, BN128_FP
+from zikkurat_algebra_tpu.ops.field import get_field
+from zikkurat_algebra_tpu.ops.ntt import get_domain
+from zikkurat_algebra_tpu.ops.pallas_field import (
+    butterfly_pallas,
+    mont_mul_pallas,
+)
+from zikkurat_algebra_tpu.oracle.ntt import ntt as oracle_ntt_fwd
+
+TILE = 128
+N = 256
+
+
+@pytest.fixture(params=[BLS12_381_FR, BN128_FP], ids=lambda p: p.name)
+def field(request):
+    return get_field(request.param)
+
+
+def _samples(f, k, seed=7):
+    r = random.Random(seed)
+    return [r.randrange(f.p) for _ in range(k)]
+
+
+def test_mont_mul_pallas_bitexact(field):
+    f = field
+    xs = _samples(f, 2 * N)
+    a = f.encode(xs[:N])
+    b = f.encode(xs[N:])
+    got = mont_mul_pallas(a, b, f.p_np, f.pinv15, tile=TILE, interpret=True)
+    want = f.mul(a, b)
+    assert jnp.array_equal(got, want)
+
+
+def test_butterfly_pallas_bitexact(field):
+    f = field
+    xs = _samples(f, 3 * N)
+    u = f.encode(xs[:N])
+    v = f.encode(xs[N:2 * N])
+    tw = f.encode(xs[2 * N:])
+    out = butterfly_pallas(u, v, tw, f.p_np, f.pinv15, tile=TILE,
+                           interpret=True)
+    assert out is not None
+    hi, lo = out
+    t = f.mul(v, tw)
+    assert jnp.array_equal(hi, f.add(u, t))
+    assert jnp.array_equal(lo, f.sub(u, t))
+    # value-level vs python ints
+    dh, dl = f.decode(hi), f.decode(lo)
+    for i in range(0, N, 37):
+        assert dh[i] == (xs[i] + xs[N + i] * xs[2 * N + i]) % f.p
+        assert dl[i] == (xs[i] - xs[N + i] * xs[2 * N + i]) % f.p
+
+
+def test_butterfly_pallas_small_batch_falls_back(field):
+    f = field
+    xs = _samples(f, 3 * 8)
+    u = f.encode(xs[:8])
+    v = f.encode(xs[8:16])
+    tw = f.encode(xs[16:])
+    assert butterfly_pallas(u, v, tw, f.p_np, f.pinv15, tile=TILE,
+                            interpret=True) is None
+
+
+def test_ntt_via_pallas_path():
+    """End-to-end NTT with use_pallas on (interpret mode): must equal the
+    scan path AND the int oracle."""
+    f = get_field(BLS12_381_FR)
+    m = 9
+    dom = get_domain(f, m)
+    xs = _samples(f, 1 << m, seed=11)
+    x = f.encode(xs)
+    want = dom.ntt(x)  # scan path (use_pallas False)
+    old = (f.use_pallas, f.pallas_tile, f.pallas_interpret)
+    f.use_pallas, f.pallas_tile, f.pallas_interpret = True, TILE, True
+    try:
+        got = dom._ntt_impl.__wrapped__(
+            dom, x, tuple(dom._fwd), jnp.asarray(dom._perm)
+        )
+    finally:
+        f.use_pallas, f.pallas_tile, f.pallas_interpret = old
+    assert jnp.array_equal(got, want)
+    ys = oracle_ntt_fwd(f.p, dom.gen, xs)
+    assert list(f.decode(got)) == ys

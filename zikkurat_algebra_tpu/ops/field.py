@@ -133,13 +133,15 @@ class Field:
     # stay on the scan path, Pallas interpret mode is too slow on CPU).
     use_pallas = False
     pallas_tile = 512
+    pallas_interpret = False  # CPU emulation of the kernels (tests only)
 
     def _mul_impl(self, a, b):
         if self.use_pallas:
             from .pallas_field import mont_mul_pallas
 
             return mont_mul_pallas(a, b, self.p_np, self.pinv15,
-                                   tile=self.pallas_tile)
+                                   tile=self.pallas_tile,
+                                   interpret=self.pallas_interpret)
         return rl.mont_mul(a, b, self.consts(a), self.pinv15)
 
     @jit_method

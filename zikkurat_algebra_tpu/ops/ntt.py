@@ -129,9 +129,24 @@ class NTTDomain:
                 tables[s - 1].reshape((L,) + (1,) * nb + (1, half)),
                 (L,) + batch + (nblocks, half),
             ).reshape((L,) + batch + (n // 2,))
-            t = f.mul(v, tw)
-            hi = f.add(u, t).reshape((L,) + batch + (nblocks, half))
-            lo = f.sub(u, t).reshape((L,) + batch + (nblocks, half))
+            fused = None
+            if f.use_pallas:
+                from .pallas_field import butterfly_pallas
+
+                # one fused kernel per stage (mul+add+sub, no HBM round
+                # trips between them); every stage shares the SAME
+                # canonical (L, n/2) shape => a single Mosaic compile.
+                fused = butterfly_pallas(u, v, tw, f.p_np, f.pinv15,
+                                         tile=f.pallas_tile,
+                                         interpret=f.pallas_interpret)
+            if fused is not None:
+                hi, lo = fused
+                hi = hi.reshape((L,) + batch + (nblocks, half))
+                lo = lo.reshape((L,) + batch + (nblocks, half))
+            else:
+                t = f.mul(v, tw)
+                hi = f.add(u, t).reshape((L,) + batch + (nblocks, half))
+                lo = f.sub(u, t).reshape((L,) + batch + (nblocks, half))
             x = jnp.concatenate([hi, lo], axis=-1).reshape(
                 (L,) + batch + (n,)
             )

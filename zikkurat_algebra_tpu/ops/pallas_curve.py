@@ -1,0 +1,186 @@
+"""Pallas TPU kernels for the curve hot path (G1 bucket accumulation).
+
+The MSM profile (BASELINE.md) showed the level-1 blocked segmented
+reduction dominating: a lax.scan of `m` steps whose every step is a
+complete group addition composed of 2 fused CIOS launches plus a dozen
+elementwise XLA ops — each op a full HBM round trip.  Here the WHOLE
+level-1 pass is ONE Mosaic kernel: the grid streams the m block-steps
+through VMEM while the (X, Y, Z) accumulator stays resident in scratch,
+and each step runs a fully-unrolled complete mixed addition (RCB15
+algorithm 8) on (L, T) limb tiles — 11 CIOS products with zero
+intermediate HBM traffic.
+
+TPU analog of the reference's serial bucket loop
+(lib/cbits/curves/g1/jac/bn128_G1_jac.c:607-618 `bucket[e-1] += point`),
+restructured as: sorted digits -> per-block running mixed-add chains
+(this kernel) -> cross-block carry combination (ops/msm.py level 2).
+
+G1 only (coordinate field = Fp, b3 a small int); G2 rides the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_field import _cios, _partial_carry
+
+I32 = jnp.int32
+
+# flag bit positions in the packed per-element flag plane
+SIGN_BIT = 1      # negate y (balanced-digit sign)
+INF_BIT = 2       # affine point is the identity
+NEW_BIT = 4       # segment restart (first element of a digit run / block)
+
+
+def _sel(mask, a, b):
+    """mask: (1, T) bool; a, b: (L, T)."""
+    return jnp.where(mask, a, b)
+
+
+def _scale_small(x, k: int):
+    return _partial_carry(_partial_carry(x * jnp.int32(k)))
+
+
+def _madd(L: int, pinv15: int, b3: int, acc, x2, y2, inf2, p):
+    """Complete mixed addition acc + (x2, y2, inf2), RCB15 algorithm 8
+    (a=0, b3 small) — the Pallas mirror of ProjCurveOps.madd
+    (ops/curve.py:142-170), every f.mul a _cios on resident tiles."""
+    X1, Y1, Z1 = acc
+    mul = lambda a, b: _cios(L, pinv15, a, b, p)
+    add = lambda a, b: _partial_carry(a + b)
+    sub = lambda a, b: _partial_carry(a - b)
+
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    m3 = mul(add(x2, y2), add(X1, Y1))
+    m4 = mul(x2, Z1)
+    m5 = mul(y2, Z1)
+    t3 = sub(m3, add(t0, t1))
+    t4 = add(m4, X1)
+    t5 = add(m5, Y1)
+    X3 = _scale_small(t0, 3)
+    t2 = _scale_small(Z1, b3)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = _scale_small(t4, b3)
+    p0 = mul(t3, t1)
+    p1 = mul(t5, Y3)
+    p2 = mul(Y3, X3)
+    p3 = mul(t1, Z3)
+    p4 = mul(Z3, t5)
+    p5 = mul(X3, t3)
+    X3n = sub(p0, p1)
+    Y3n = add(p2, p3)
+    Z3n = add(p4, p5)
+    return (
+        _sel(inf2, X1, X3n),
+        _sel(inf2, Y1, Y3n),
+        _sel(inf2, Z1, Z3n),
+    )
+
+
+def _block_scan_kernel(L: int, pinv15: int, b3: int,
+                       x_ref, y_ref, flg_ref, p_ref,
+                       ox_ref, oy_ref, oz_ref,
+                       ax, ay, az):
+    """One grid step = one block-position i of every block in this lane
+    tile.  acc := restart ? from_affine(pt) : acc (+) pt, streamed out."""
+    i = pl.program_id(1)
+    p = p_ref[:, :]
+    T = p.shape[1]
+
+    x = x_ref[0]
+    y = y_ref[0]
+    flg = flg_ref[0]                       # (1, T) int32 bitmask
+    sgn = (flg & SIGN_BIT) != 0
+    inf = (flg & INF_BIT) != 0
+    new = (flg & NEW_BIT) != 0
+
+    y = _sel(sgn, _partial_carry(-y), y)
+
+    # from_affine(pt): inf -> (0, 1, 0); else (x, y, 1)
+    zero = jnp.zeros((L, T), I32)
+    one = jnp.concatenate([jnp.ones((1, T), I32), zero[1:]], 0)
+    fx = _sel(inf, zero, x)
+    fy = _sel(inf, one, y)
+    fz = _sel(inf, zero, one)
+
+    @pl.when(i == 0)
+    def _init():
+        ax[:, :] = fx
+        ay[:, :] = fy
+        az[:, :] = fz
+
+    @pl.when(i != 0)
+    def _step():
+        acc = (ax[:, :], ay[:, :], az[:, :])
+        sx, sy, sz = _madd(L, pinv15, b3, acc, x, y, inf, p)
+        ax[:, :] = _sel(new, fx, sx)
+        ay[:, :] = _sel(new, fy, sy)
+        az[:, :] = _sel(new, fz, sz)
+
+    ox_ref[0] = ax[:, :]
+    oy_ref[0] = ay[:, :]
+    oz_ref[0] = az[:, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_block_scan(L: int, pinv15: int, b3: int, m: int, nb: int,
+                      tile: int, interpret: bool):
+    kernel = functools.partial(_block_scan_kernel, L, pinv15, b3)
+    grid = (nb // tile, m)
+    spec = pl.BlockSpec((1, L, tile), lambda j, i: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, 1, tile), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, tile), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, L, nb), I32),
+            jax.ShapeDtypeStruct((m, L, nb), I32),
+            jax.ShapeDtypeStruct((m, L, nb), I32),
+        ),
+        grid=grid,
+        in_specs=[spec, spec, fspec, cspec],
+        out_specs=(spec, spec, spec),
+        scratch_shapes=[
+            pltpu.VMEM((L, tile), I32),
+            pltpu.VMEM((L, tile), I32),
+            pltpu.VMEM((L, tile), I32),
+        ],
+        interpret=interpret,
+    )
+
+
+def block_madd_scan(x: jax.Array, y: jax.Array, flg: jax.Array,
+                    p_np, pinv15: int, b3: int,
+                    tile: int = 512, interpret: bool = False):
+    """Masked running mixed-add scan.
+
+    x, y: (m, L, B) canonical affine limb planes in block-stream layout
+    (axis 0 = position within block, axis 2 = block lanes); flg: (m, B)
+    int32 bitmask (SIGN_BIT | INF_BIT | NEW_BIT).  Returns projective
+    running values (X, Y, Z), each (m, L, B): position i of lane j holds
+    the sum of lane j's current segment up to step i.
+    """
+    m, L, B = x.shape
+    pad = (-B) % tile
+    if pad:
+        padf = jnp.full((m, pad), NEW_BIT | INF_BIT, I32)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)))
+        flg = jnp.concatenate([flg, padf], 1)
+    nb = B + pad
+    pb = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (L, tile))
+    call = _build_block_scan(L, pinv15, b3, m, nb, tile, interpret)
+    X, Y, Z = call(x, y, flg[:, None, :], pb)
+    if pad:
+        X, Y, Z = X[..., :B], Y[..., :B], Z[..., :B]
+    return X, Y, Z

@@ -28,13 +28,13 @@ LB = rl.LB
 MASK = rl.MASK
 
 
-def _mont_mul_kernel(L: int, pinv15: int, a_ref, b_ref, p_ref, o_ref):
-    # whole-block CIOS: every step is (L, T)-shaped vector work so the
-    # limb axis PACKS THE SUBLANES (vs 1-row ops wasting 7/8 of each
-    # vreg); the column shift-down is a static slice + pad.
-    a = a_ref[:, :]                            # (L, T)
-    b = b_ref[:, :]
-    p = p_ref[:, :]
+def _cios(L: int, pinv15: int, a, b, p):
+    """Straight-line CIOS Montgomery product on (L, T) int32 tiles —
+    the shared body of every field Pallas kernel.  Every step is
+    (L, T)-shaped vector work so the limb axis PACKS THE SUBLANES (vs
+    1-row ops wasting 7/8 of each vreg); the column shift-down is a
+    static slice + pad.  Returns canonical nonneg limbs (value < 3.2p,
+    exactly rl.mont_mul's contract)."""
     T = a.shape[1]
     pinv = jnp.int32(pinv15)
 
@@ -72,8 +72,22 @@ def _mont_mul_kernel(L: int, pinv15: int, a_ref, b_ref, p_ref, o_ref):
         t = acc[k:k + 1] + c
         rows.append(t & MASK)
         c = t >> LB
-    o_ref[:, :] = jnp.concatenate(rows, 0)
+    return jnp.concatenate(rows, 0)
     # top column provably zero (value < 3.2p << 2^(15L))
+
+
+def _partial_carry(x):
+    """One scan-free partial-carry pass (rl.partial_carry semantics):
+    top limb left unsplit to absorb the sign."""
+    T = x.shape[1]
+    lo = x & MASK
+    hi = x >> LB
+    shifted = jnp.concatenate([jnp.zeros((1, T), I32), hi[:-1]], 0)
+    return jnp.concatenate([lo[:-1], x[-1:]], 0) + shifted
+
+
+def _mont_mul_kernel(L: int, pinv15: int, a_ref, b_ref, p_ref, o_ref):
+    o_ref[:, :] = _cios(L, pinv15, a_ref[:, :], b_ref[:, :], p_ref[:, :])
 
 
 @functools.lru_cache(maxsize=None)
@@ -93,6 +107,68 @@ def _build_mont_mul(L: int, pinv15: int, n: int, tile: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+
+
+def _butterfly_kernel(L: int, pinv15: int, u_ref, v_ref, tw_ref, p_ref,
+                      hi_ref, lo_ref):
+    """Fused NTT butterfly: t = v*tw (CIOS), hi = u+t, lo = u-t with one
+    partial-carry pass each — the whole stage body in ONE kernel (the
+    XLA formulation pays 3 separate HBM round trips; cf. the reference's
+    in-place butterfly, bn128_poly_mont.c:444-449)."""
+    u = u_ref[:, :]
+    t = _cios(L, pinv15, v_ref[:, :], tw_ref[:, :], p_ref[:, :])
+    hi_ref[:, :] = _partial_carry(u + t)
+    lo_ref[:, :] = _partial_carry(u - t)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_butterfly(L: int, pinv15: int, n: int, tile: int, interpret: bool):
+    kernel = functools.partial(_butterfly_kernel, L, pinv15)
+    grid = (n // tile,)
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, n), I32),
+            jax.ShapeDtypeStruct((L, n), I32),
+        ),
+        grid=grid,
+        in_specs=[spec, spec, spec, cspec],
+        out_specs=(spec, spec),
+        interpret=interpret,
+    )
+
+
+def butterfly_pallas(u: jax.Array, v: jax.Array, tw: jax.Array, p_np,
+                     pinv15: int, tile: int = 512,
+                     interpret: bool = False):
+    """(u + v*tw, u - v*tw) on (L, *batch) operands, one fused kernel.
+    Returns None if the batch is too small to pay for a launch (caller
+    falls back to the composed XLA ops)."""
+    L = u.shape[0]
+    batch_shape = u.shape[1:]
+    nb = 1
+    for s in batch_shape:
+        nb *= s
+    if nb < tile or u.shape != v.shape or v.shape != tw.shape:
+        return None
+    uf = u.reshape(L, nb)
+    vf = v.reshape(L, nb)
+    twf = tw.reshape(L, nb)
+    pad = (-nb) % tile
+    if pad:
+        uf = jnp.pad(uf, ((0, 0), (0, pad)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad)))
+        twf = jnp.pad(twf, ((0, 0), (0, pad)))
+    n = nb + pad
+    pb = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (L, tile))
+    call = _build_butterfly(L, pinv15, n, tile, interpret)
+    hi, lo = call(uf, vf, twf, pb)
+    if pad:
+        hi = hi[:, :nb]
+        lo = lo[:, :nb]
+    return (hi.reshape((L,) + batch_shape), lo.reshape((L,) + batch_shape))
 
 
 def mont_mul_pallas(a: jax.Array, b: jax.Array, p_np, pinv15: int,
