@@ -323,29 +323,53 @@ def bench_pairing(args, jax):
 
 
 def bench_fieldmul(args, jax):
-    """Field muls/sec/chip (BASELINE metric 3) on Fr of the chosen curve."""
+    """Field muls/sec/chip (BASELINE metric 3) on Fr of the chosen curve.
+
+    K dependent muls run inside ONE jit (lax.scan), so the ~28 ms launch
+    latency is amortized to nothing and the number is the true sustained
+    kernel throughput, not the dispatch floor."""
+    import functools
     import numpy as np
     import jax.numpy as jnp
+    from jax import lax
     from zikkurat_algebra_tpu import params as P
     from zikkurat_algebra_tpu.ops.field import get_field
 
     curve = P.CURVES[args.curve]
     f = get_field(curve.fr)
     n = 1 << args.n
+    K = 64
     a = f.rnd(jax.random.PRNGKey(0), (n,))
     b = f.rnd(jax.random.PRNGKey(1), (n,))
 
-    def fetch(r):
-        np.asarray(r.reshape(-1)[:4])
+    @jax.jit
+    def chain(c, b):
+        def body(c, _):
+            return f._mul_impl(c, b), None
 
-    c = f.mul(a, b)
+        c, _ = lax.scan(body, c, None, length=K)
+        return c
+
+    def fetch(r):
+        np.asarray(r[:, :4])
+
+    c = chain(a, b)
     fetch(c)
-    iters = 30
+    if args.check:
+        # value check: chain == a * b^K mod p (python ints)
+        av = f.decode(a[:, :2])
+        bv = f.decode(b[:, :2])
+        cv = f.decode(chain(a, b)[:, :2])
+        for i in range(2):
+            assert cv[i] == av[i] * pow(bv[i], K, f.p) % f.p, \
+                "fieldmul chain cross-check FAILED"
+    iters = 5
     t0 = time.time()
+    c = a
     for _ in range(iters):
-        c = f.mul(c, b)   # serialized dependency chain
+        c = chain(c, b)
     fetch(c)
-    per = (time.time() - t0) / iters
+    per = (time.time() - t0) / (iters * K)
     out = {
         "metric": f"{args.curve.lower().replace('-', '_')}_fr_mul_per_sec",
         "value": round(n / per, 1),
@@ -353,15 +377,32 @@ def bench_fieldmul(args, jax):
         "vs_baseline": 0.0,
     }
     print(json.dumps(out))
-    print(f"# batch=2^{args.n} per={per*1e6:.0f}us backend={jax.devices()[0].platform}",
-          file=sys.stderr)
+    print(f"# batch=2^{args.n} chain K={K} per_mul={per*1e6:.0f}us "
+          f"backend={jax.devices()[0].platform}", file=sys.stderr)
 
 
 def _cpp_baseline_pps(args):
     """CPU baseline points/s: prefer the REFERENCE's own compiled C
-    (scripts/build_reference.sh), fall back to cpp/build/msm_bench."""
+    (scripts/build_reference.sh), fall back to cpp/build/msm_bench.
+    G2 uses the cpp baseline directly (the reference FFI exposes G1 only)."""
     if getattr(args, "group", "g1") != "g1":
-        return None   # no native G2 baseline wired up (FFI exposes G1 MSM only)
+        import subprocess
+        exe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "cpp", "build", "msm_bench")
+        if not os.path.exists(exe):
+            return None
+        try:
+            out = subprocess.run(
+                [exe, str(min(args.n, 16)), "--g2"], capture_output=True,
+                text=True, timeout=1200,
+            )
+            pps = float(json.loads(
+                out.stdout.strip().splitlines()[-1])["points_per_sec"])
+            print(f"# baseline = cpp G2 Jacobian (OpenMP): {pps:.0f} pts/s",
+                  file=sys.stderr)
+            return pps
+        except Exception:
+            return None
     if args.n <= 18:
         try:
             from zikkurat_algebra_tpu.utils.reference_ffi import (

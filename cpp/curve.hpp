@@ -1,8 +1,11 @@
-// Jacobian G1 arithmetic + Pippenger MSM — the measured CPU baseline
+// Jacobian curve arithmetic + Pippenger MSM — the measured CPU baseline
 // standing in for the reference's generated C
-// (lib/cbits/curves/g1/jac/*.c: dbl-2007-bl / madd-2007-bl formulas and
-// MSM_std_coeff_jac_out_variable's windowed bucket method).
-// Clean-room implementation of the standard EFD formulas.
+// (lib/cbits/curves/g1/jac/*.c and g2/proj/*.c: dbl-2007-bl /
+// madd-2007-bl formulas and MSM_std_coeff_jac_out_variable's windowed
+// bucket method).  Clean-room implementation of the standard EFD
+// formulas, TEMPLATED over the coordinate field: F = Fp gives G1,
+// F = Fp2 (fp2.hpp overloads) gives G2 — mirroring the reference's
+// per-field code generation with one template instead.
 #pragma once
 
 #include <cmath>
@@ -10,25 +13,36 @@
 #include <vector>
 
 #include "field.hpp"
+#include "fp2.hpp"
 
-struct G1Aff {
-  Fp x, y;
+template <typename F>
+struct AffT {
+  F x, y;
   bool inf;
 };
 
-struct G1Jac {
-  Fp x, y, z;  // infinity <=> z == 0
+template <typename F>
+struct JacT {
+  F x, y, z;  // infinity <=> z == 0
 };
 
-static inline void jac_set_inf(G1Jac &p) {
+using G1Aff = AffT<Fp>;
+using G1Jac = JacT<Fp>;
+using G2Aff = AffT<Fp2>;
+using G2Jac = JacT<Fp2>;
+
+template <typename F>
+static inline void jac_set_inf(JacT<F> &p) {
   fp_set_one_mont(p.x);
   fp_set_one_mont(p.y);
   fp_set_zero(p.z);
 }
 
-static inline bool jac_is_inf(const G1Jac &p) { return fp_is_zero(p.z); }
+template <typename F>
+static inline bool jac_is_inf(const JacT<F> &p) { return fp_is_zero(p.z); }
 
-static inline void jac_from_aff(G1Jac &out, const G1Aff &a) {
+template <typename F>
+static inline void jac_from_aff(JacT<F> &out, const AffT<F> &a) {
   if (a.inf) { jac_set_inf(out); return; }
   out.x = a.x;
   out.y = a.y;
@@ -36,9 +50,10 @@ static inline void jac_from_aff(G1Jac &out, const G1Aff &a) {
 }
 
 // dbl-2007-bl (a = 0)
-static inline void jac_dbl(G1Jac &out, const G1Jac &p) {
+template <typename F>
+static inline void jac_dbl(JacT<F> &out, const JacT<F> &p) {
   if (jac_is_inf(p)) { out = p; return; }
-  Fp A, B, C, D, E, F, t;
+  F A, B, C, D, E, Fq, t;
   fp_sqr(A, p.x);
   fp_sqr(B, p.y);
   fp_sqr(C, B);
@@ -51,38 +66,39 @@ static inline void jac_dbl(G1Jac &out, const G1Jac &p) {
   // E = 3A, F = E^2
   fp_add(E, A, A);
   fp_add(E, E, A);
-  fp_sqr(F, E);
+  fp_sqr(Fq, E);
   // X3 = F - 2D
-  fp_sub(out.x, F, D);
+  fp_sub(out.x, Fq, D);
   fp_sub(out.x, out.x, D);
   // Y3 = E(D - X3) - 8C
   fp_sub(t, D, out.x);
   fp_mul(t, E, t);
-  Fp C8;
+  F C8;
   fp_add(C8, C, C);
   fp_add(C8, C8, C8);
   fp_add(C8, C8, C8);
-  Fp y3;
+  F y3;
   fp_sub(y3, t, C8);
   // Z3 = 2 Y Z
-  Fp z3;
+  F z3;
   fp_mul(z3, p.y, p.z);
   fp_add(out.z, z3, z3);
   out.y = y3;
 }
 
 // mixed addition Jacobian + affine (madd-2007-bl, a = 0)
-static inline void jac_madd(G1Jac &out, const G1Jac &p, const G1Aff &q) {
+template <typename F>
+static inline void jac_madd(JacT<F> &out, const JacT<F> &p, const AffT<F> &q) {
   if (q.inf) { out = p; return; }
   if (jac_is_inf(p)) { jac_from_aff(out, q); return; }
-  Fp Z1Z1, U2, S2, H, HH, I, J, r, V, t;
+  F Z1Z1, U2, S2, H, HH, I, J, r, V, t;
   fp_sqr(Z1Z1, p.z);
   fp_mul(U2, q.x, Z1Z1);
   fp_mul(S2, q.y, p.z);
   fp_mul(S2, S2, Z1Z1);
   fp_sub(H, U2, p.x);
   if (fp_is_zero(H)) {
-    Fp d;
+    F d;
     fp_sub(d, S2, p.y);
     if (fp_is_zero(d)) { jac_dbl(out, p); return; }
     jac_set_inf(out);
@@ -103,10 +119,10 @@ static inline void jac_madd(G1Jac &out, const G1Jac &p, const G1Aff &q) {
   // Y3 = r(V - X3) - 2 Y1 J
   fp_sub(t, V, out.x);
   fp_mul(t, r, t);
-  Fp yj;
+  F yj;
   fp_mul(yj, p.y, J);
   fp_add(yj, yj, yj);
-  Fp y3;
+  F y3;
   fp_sub(y3, t, yj);
   // Z3 = (Z1 + H)^2 - Z1Z1 - HH
   fp_add(t, p.z, H);
@@ -116,11 +132,12 @@ static inline void jac_madd(G1Jac &out, const G1Jac &p, const G1Aff &q) {
   out.y = y3;
 }
 
-// full Jacobian addition (via madd shapes; add-2007-bl)
-static inline void jac_add(G1Jac &out, const G1Jac &p, const G1Jac &q) {
+// full Jacobian addition (add-2007-bl)
+template <typename F>
+static inline void jac_add(JacT<F> &out, const JacT<F> &p, const JacT<F> &q) {
   if (jac_is_inf(p)) { out = q; return; }
   if (jac_is_inf(q)) { out = p; return; }
-  Fp Z1Z1, Z2Z2, U1, U2, S1, S2, H, I, J, r, V, t;
+  F Z1Z1, Z2Z2, U1, U2, S1, S2, H, I, J, r, V, t;
   fp_sqr(Z1Z1, p.z);
   fp_sqr(Z2Z2, q.z);
   fp_mul(U1, p.x, Z2Z2);
@@ -131,7 +148,7 @@ static inline void jac_add(G1Jac &out, const G1Jac &p, const G1Jac &q) {
   fp_mul(S2, S2, Z1Z1);
   fp_sub(H, U2, U1);
   if (fp_is_zero(H)) {
-    Fp d;
+    F d;
     fp_sub(d, S2, S1);
     if (fp_is_zero(d)) { jac_dbl(out, p); return; }
     jac_set_inf(out);
@@ -149,10 +166,10 @@ static inline void jac_add(G1Jac &out, const G1Jac &p, const G1Jac &q) {
   fp_sub(out.x, t, V);
   fp_sub(t, V, out.x);
   fp_mul(t, r, t);
-  Fp sj;
+  F sj;
   fp_mul(sj, S1, J);
   fp_add(sj, sj, sj);
-  Fp y3;
+  F y3;
   fp_sub(y3, t, sj);
   fp_mul(t, p.z, q.z);
   fp_mul(t, t, H);
@@ -171,17 +188,18 @@ static inline int msm_window(size_t n) {
   return c;
 }
 
-static inline G1Jac msm_jac(const std::vector<std::array<u64, 4>> &scalars,
-                            const std::vector<G1Aff> &points, int c) {
+template <typename F>
+static inline JacT<F> msm_jac(const std::vector<std::array<u64, 4>> &scalars,
+                              const std::vector<AffT<F>> &points, int c) {
   const size_t n = points.size();
   const int nbits = FR_WORDS * 64;
   const int windows = (nbits + c - 1) / c;
   const size_t nbuckets = ((size_t)1 << c) - 1;
-  std::vector<G1Jac> win_res(windows);
+  std::vector<JacT<F>> win_res(windows);
 
 #pragma omp parallel for schedule(dynamic, 1)
   for (int w = 0; w < windows; ++w) {
-    std::vector<G1Jac> buckets(nbuckets);
+    std::vector<JacT<F>> buckets(nbuckets);
     for (auto &b : buckets) jac_set_inf(b);
     for (size_t i = 0; i < n; ++i) {
       int bit0 = w * c;
@@ -193,7 +211,7 @@ static inline G1Jac msm_jac(const std::vector<std::array<u64, 4>> &scalars,
       if (digit) jac_madd(buckets[digit - 1], buckets[digit - 1], points[i]);
     }
     // running sums: sum_b b * S_b
-    G1Jac run, acc;
+    JacT<F> run, acc;
     jac_set_inf(run);
     jac_set_inf(acc);
     for (size_t b = nbuckets; b-- > 0;) {
@@ -203,7 +221,7 @@ static inline G1Jac msm_jac(const std::vector<std::array<u64, 4>> &scalars,
     win_res[w] = acc;
   }
 
-  G1Jac total;
+  JacT<F> total;
   jac_set_inf(total);
   for (int w = windows - 1; w >= 0; --w) {
     for (int k = 0; k < c; ++k) jac_dbl(total, total);

@@ -48,3 +48,45 @@ def test_cpp_msm_vs_oracle(rng):
     else:
         assert inf == 0
         assert (xs, ys) == want
+
+
+@pytest.mark.skipif(not os.path.exists(EXE), reason="cpp baseline not built")
+def test_cpp_g2_msm_vs_oracle(rng):
+    """G2 (Fp2 coords) differential test via --io-g2 (cf. the reference's
+    G2 MSM, bn128_G2_proj.h:43-49)."""
+    from zikkurat_algebra_tpu.oracle.groups import g2_group
+
+    curve = P.BLS12_381
+    og = g2_group(curve)
+    n = 17
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[3] = None
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    ks[1] = 0
+    want = og.msm(ks, pts)
+
+    lines = [str(n)]
+    for k in ks:
+        lines.append(f"{k:x}")
+    for p in pts:
+        if p is None:
+            lines.extend(["0", "0", "0", "0", "1"])
+        else:
+            (x0, x1), (y0, y1) = p
+            lines.extend([f"{x0:x}", f"{x1:x}", f"{y0:x}", f"{y1:x}", "0"])
+    out = subprocess.run(
+        [EXE, "--io-g2"], input="\n".join(lines), capture_output=True,
+        text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    res = out.stdout.split()
+    inf = int(res[0])
+    got = (
+        (int(res[1], 16), int(res[2], 16)),
+        (int(res[3], 16), int(res[4], 16)),
+    )
+    if want is None:
+        assert inf == 1
+    else:
+        assert inf == 0
+        assert got == want

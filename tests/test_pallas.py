@@ -94,3 +94,55 @@ def test_ntt_via_pallas_path():
     assert jnp.array_equal(got, want)
     ys = oracle_ntt_fwd(f.p, dom.gen, xs)
     assert list(f.decode(got)) == ys
+
+
+def test_block_madd_scan_bitexact():
+    """The streamed masked running mixed-add kernel must be bit-identical
+    to the composed ops.madd / from_affine / select scan on the same
+    inputs, including sign, infinity and restart flags."""
+    import numpy as np
+    from zikkurat_algebra_tpu.params import BLS12_381
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+    from zikkurat_algebra_tpu.ops.pallas_curve import (
+        block_madd_scan, SIGN_BIT, INF_BIT, NEW_BIT,
+    )
+
+    ck = get_curves(BLS12_381)
+    ops = ck.g1
+    f = ops.f
+    m, B = 8, 64
+    r = random.Random(3)
+    xs = f.encode([r.randrange(f.p) for _ in range(m * B)]).reshape(f.L, m, B)
+    ys = f.encode([r.randrange(f.p) for _ in range(m * B)]).reshape(f.L, m, B)
+    xs = jnp.moveaxis(xs, 1, 0)  # (m, L, B)
+    ys = jnp.moveaxis(ys, 1, 0)
+    np_r = np.random.default_rng(5)
+    sg = np_r.integers(0, 2, (m, B)).astype(bool)
+    inf = np_r.integers(0, 5, (m, B)) == 0
+    new = np_r.integers(0, 3, (m, B)) == 0
+    new[0, :] = True
+    flg = (
+        np.where(sg, SIGN_BIT, 0)
+        | np.where(inf, INF_BIT, 0)
+        | np.where(new, NEW_BIT, 0)
+    ).astype(np.int32)
+
+    X, Y, Z = block_madd_scan(
+        xs, ys, jnp.asarray(flg), f.p_np, f.pinv15, ops.b3, f.one_np,
+        tile=B, interpret=True,
+    )
+
+    # XLA reference: same dataflow with the composed curve ops
+    sgj = jnp.asarray(sg)
+    acc = ops.infinity((B,))
+    outs = []
+    for i in range(m):
+        y_eff = f.select(sgj[i], f.neg(ys[i]), ys[i])
+        pt = (xs[i], y_eff, jnp.asarray(inf[i]))
+        summed = ops.madd(acc, pt)
+        acc = ops.select(jnp.asarray(new[i]), ops.from_affine(pt), summed)
+        outs.append(acc)
+    for i in range(m):
+        assert jnp.array_equal(X[i], outs[i][0]), f"X step {i}"
+        assert jnp.array_equal(Y[i], outs[i][1]), f"Y step {i}"
+        assert jnp.array_equal(Z[i], outs[i][2]), f"Z step {i}"

@@ -465,6 +465,7 @@ _CURVE_CACHE: dict = {}
 def get_curves(curve: CurveParams) -> CurveKernels:
     c = _CURVE_CACHE.get(curve.name)
     if c is None:
-        c = CurveKernels(curve)
+        with jax.ensure_compile_time_eval():   # see ntt.get_domain note
+            c = CurveKernels(curve)
         _CURVE_CACHE[curve.name] = c
     return c

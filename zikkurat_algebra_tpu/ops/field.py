@@ -444,6 +444,7 @@ _FIELD_CACHE: dict = {}
 def get_field(params: FieldParams) -> Field:
     f = _FIELD_CACHE.get(params.name)
     if f is None:
-        f = Field(params)
+        with jax.ensure_compile_time_eval():   # see ntt.get_domain note
+            f = Field(params)
         _FIELD_CACHE[params.name] = f
     return f

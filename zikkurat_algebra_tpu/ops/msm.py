@@ -129,46 +129,73 @@ def _segment_scan_tails(ops: ProjCurveOps, P: Point, seg_id: jax.Array
     return scanned, tail
 
 
-def _segment_reduce_blocked(ops: ProjCurveOps, P: Point, seg_id: jax.Array,
+def _segment_reduce_blocked(ops: ProjCurveOps, aff, seg_id: jax.Array,
                             m: int, nbuckets: int):
     """Two-level blocked segmented reduction (GPU-style segmented scan):
 
-    level 1: one lax.scan of m steps computes in-block running sums that
-             RESTART at segment boundaries (batch = all blocks x windows —
-             contiguous slices, no strided relayouts, ~N group adds total);
+    level 1: in-block running MIXED-ADD chains that RESTART at segment
+             boundaries (batch = all blocks x windows) — either ONE
+             fused Pallas kernel with the accumulator resident in VMEM
+             (ops/pallas_curve.py) or a lax.scan of m madd steps;
     level 2: per-block trailing partials are combined across consecutive
              connected blocks by a small segmented associative scan
              (N/m elements), and each cross-block carry is scattered into
              a correction bucket array.
 
-    Returns (tail values (*,wc,N), tail mask, correction buckets tuple,
-    correction index (wc, nblk)).  seg_id must be sorted along the last
-    axis; the caller pads N to a multiple of m."""
+    aff = (x, y, inf) SORTED canonical affine planes (sign pre-applied
+    to y); seg_id must be sorted along the last axis; the caller pads N
+    to a multiple of m.  Returns (running values (*,wc,N), tail mask,
+    correction buckets tuple, correction index (wc, nblk))."""
     wc, n = seg_id.shape
     nblk = n // m
     d_blk = seg_id.reshape(wc, nblk, m)
+    x, y, inf = aff
+    L = x.shape[0]
+    struct = x.shape[:-2]                      # () for Fp, (2,) for Fp2
 
     def split_blocks(p):
-        x = p.reshape(p.shape[:-1] + (nblk, m))
-        return jnp.moveaxis(x, -1, 0)          # (m, ..., wc, nblk)
+        z = p.reshape(p.shape[:-1] + (nblk, m))
+        return jnp.moveaxis(z, -1, 0)          # (m, ..., wc, nblk)
 
-    Pm = tuple(split_blocks(p) for p in P)
     prev = jnp.concatenate([d_blk[..., :1], d_blk[..., :-1]], -1)
     new_seg = d_blk != prev
     new_seg = new_seg.at[..., 0].set(True)     # block starts restart
     new_m = jnp.moveaxis(new_seg, -1, 0)       # (m, wc, nblk)
 
-    def body(acc, inp):
-        pt, new = inp
-        summed = ops.add(acc, pt)
-        nxt = ops.select(new, pt, summed)
-        return nxt, nxt
+    f = ops.f
+    use_kernel = (
+        getattr(f, "use_pallas", False) and ops.b3_small and not struct
+    )
+    if use_kernel:
+        from .pallas_curve import block_madd_scan, INF_BIT, NEW_BIT
 
-    acc0 = ops.infinity((wc, nblk))
-    _, ys_m = lax.scan(body, acc0, (Pm, new_m))
+        B = wc * nblk
+        xs = split_blocks(x).reshape(m, L, B)
+        ys_in = split_blocks(y).reshape(m, L, B)
+        flg = (
+            jnp.where(split_blocks(inf), INF_BIT, 0)
+            | jnp.where(new_m, NEW_BIT, 0)
+        ).reshape(m, B).astype(jnp.int32)
+        X, Y, Z = block_madd_scan(
+            xs, ys_in, flg, f.p_np, f.pinv15, ops.b3, f.one_np,
+            tile=f.pallas_tile, interpret=f.pallas_interpret,
+        )
+        ys_m = tuple(o.reshape(m, L, wc, nblk) for o in (X, Y, Z))
+    else:
+        aff_m = (split_blocks(x), split_blocks(y), split_blocks(inf))
+
+        def body(acc, inp):
+            pt, new = inp
+            summed = ops.madd(acc, pt)
+            nxt = ops.select(new, ops.from_affine(pt), summed)
+            return nxt, nxt
+
+        acc0 = ops.infinity((wc, nblk))
+        _, ys_m = lax.scan(body, acc0, (aff_m, new_m))
     S = tuple(y[-1] for y in ys_m)             # trailing partials (.., wc, nblk)
     ys = tuple(
-        jnp.moveaxis(y, 0, -1).reshape(P[0].shape[:-1] + (n,)) for y in ys_m
+        jnp.moveaxis(y, 0, -1).reshape(y.shape[1:-2] + (wc, n,))
+        for y in ys_m
     )
 
     # global tail mask (next element differs, or global end)
@@ -271,26 +298,27 @@ class MSM:
                 [digits, jnp.zeros((nchunks * wc - W, n), jnp.int32)], 0
             )
         digits = digits.reshape(nchunks, wc, n)
-        P = ops.from_affine(points)
+        ax, ay, ainf = points
         if block and n % block:
             # pad the domain to a block multiple: digit = nbuckets sorts
             # to the end and scatters to the dump slot; points = infinity
             padn = (-n) % block
             digits = jnp.pad(digits, ((0, 0), (0, 0), (0, padn)),
                              constant_values=nbuckets)
-            Pinf = ops.infinity((padn,))
-            P = tuple(
-                jnp.concatenate([p, i], axis=-1) for p, i in zip(P, Pinf)
-            )
+            ax = jnp.pad(ax, ((0, 0),) * (ax.ndim - 1) + ((0, padn),))
+            ay = jnp.pad(ay, ((0, 0),) * (ay.ndim - 1) + ((0, padn),))
+            ainf = jnp.pad(ainf, ((0, padn),), constant_values=True)
             n = n + padn
 
-        # canonicalize the coords (inputs may be lazy-band, e.g. straight
-        # from to_affine), then pack two 15-bit limbs per int32 payload
-        # row — halves the data moved through the sort network
-        P = tuple(ops.f.norm(p) for p in P)
-        coord_shapes = [p.shape for p in P]
+        # canonicalize the AFFINE coords (inputs may be lazy-band, e.g.
+        # straight from to_affine), then pack two 15-bit limbs per int32
+        # payload row — only x and y ride the sort network (the third
+        # projective coordinate is reconstructed from the inf flag after
+        # sorting, cutting sort payload traffic by a third)
+        A = (ops.f.norm(ax), ops.f.norm(ay))
+        coord_shapes = [p.shape for p in A]
         packed_rows = []
-        for p in P:
+        for p in A:
             flatp = p.reshape(-1, n)
             if flatp.shape[0] % 2:
                 flatp = jnp.concatenate(
@@ -300,24 +328,26 @@ class MSM:
             packed_rows.append(flatp[:half] | (flatp[half:] << 15))
         packed = jnp.concatenate(packed_rows, 0)            # (Rp, N)
         row_counts = [r.shape[0] for r in packed_rows]
+        infi = ainf.astype(jnp.int32)
 
         def per_chunk(_, digit):
             # digit: (wc, N) SIGNED.  Sort points by |digit| per window
             # WITHOUT a gather: TPUs have no hardware gather (jnp.take
             # lowers to serial/one-hot code), so the packed coordinate
             # planes ride the sort network as sort_key_val payload — the
-            # sign rides as one extra payload row and conditionally
-            # negates y after the sort.
+            # balanced-digit sign and the infinity mask share one extra
+            # payload row.
             ad = jnp.abs(digit)
             sg = (digit < 0).astype(jnp.int32)
             flat = jnp.broadcast_to(
                 packed[:, None, :], (packed.shape[0], wc, n)
             )
-            flat = jnp.concatenate([flat, sg[None]], 0)
+            flat = jnp.concatenate([flat, (sg | (infi[None] << 1))[None]], 0)
             keys = jnp.broadcast_to(ad[None], flat.shape)
             _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
             d_sorted = lax.sort(ad, dimension=1)
-            sg_sorted = sorted_flat[-1] == 1                # (wc, n)
+            sg_sorted = (sorted_flat[-1] & 1) == 1          # (wc, n)
+            inf_sorted = (sorted_flat[-1] & 2) == 2         # (wc, n)
             Ps = []
             off = 0
             for shp, rc in zip(coord_shapes, row_counts):
@@ -332,13 +362,16 @@ class MSM:
                 off += rc
             # negative digit => use -P (negate y)
             y = Ps[1]
-            Ps[1] = ops.f.select(sg_sorted, ops.f.neg(y), y)
-            Ps = tuple(Ps)
+            aff = (
+                Ps[0],
+                ops.f.select(sg_sorted, ops.f.neg(y), y),
+                inf_sorted,
+            )
             rows = jnp.arange(wc, dtype=jnp.int32)[:, None]
             binf = ops.infinity((wc, nbuckets + 1))
             if block:
                 scanned, tail, C, cidx = _segment_reduce_blocked(
-                    ops, Ps, d_sorted, block, nbuckets
+                    ops, aff, d_sorted, block, nbuckets
                 )
                 idx = jnp.where(tail, d_sorted, nbuckets)   # (wc, N)
                 buckets = tuple(
@@ -351,7 +384,9 @@ class MSM:
                 )
                 buckets = ops.add(buckets, corr)
             else:
-                scanned, tail = _segment_scan_tails(ops, Ps, d_sorted)
+                scanned, tail = _segment_scan_tails(
+                    ops, ops.from_affine(aff), d_sorted
+                )
                 idx = jnp.where(tail, d_sorted, nbuckets)   # (wc, N)
                 buckets = tuple(
                     b.at[..., rows, idx].set(s)

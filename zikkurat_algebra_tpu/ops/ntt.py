@@ -55,9 +55,14 @@ class NTTDomain:
         self._perm = bit_reverse_perm(self.m)
         # stage twiddles: stage s in 1..m uses w_s = gen^(2^(m-s)) of order
         # 2^s; table_s = [w_s^j for j < 2^(s-1)] in Montgomery form.
-        self._fwd = self._stage_tables(self.gen)
-        self._inv = self._stage_tables(self.gen_inv)
-        self._ninv_mont = field.encode(self.n_inv)
+        # ensure_compile_time_eval: domains are built LAZILY, sometimes
+        # while another function's jit trace is active (e.g. get_domain
+        # inside PolyOps.mul_ntt) — without it the tables would be traced
+        # into that jaxpr and leak cached tracers into _DOMAIN_CACHE.
+        with jax.ensure_compile_time_eval():
+            self._fwd = self._stage_tables(self.gen)
+            self._inv = self._stage_tables(self.gen_inv)
+            self._ninv_mont = field.encode(self.n_inv)
 
     def _stage_tables(self, g: int) -> List[jax.Array]:
         """Stage-s twiddles are g^(j * 2^(m-s)) — strided subsamples of ONE

@@ -354,6 +354,7 @@ _PAIRING_CACHE: dict = {}
 def get_pairing(curve: CurveParams) -> PairingKernels:
     pk = _PAIRING_CACHE.get(curve.name)
     if pk is None:
-        pk = PairingKernels(curve)
+        with jax.ensure_compile_time_eval():   # see ntt.get_domain note
+            pk = PairingKernels(curve)
         _PAIRING_CACHE[curve.name] = pk
     return pk

@@ -85,13 +85,14 @@ def _madd(L: int, pinv15: int, b3: int, acc, x2, y2, inf2, p):
 
 
 def _block_scan_kernel(L: int, pinv15: int, b3: int,
-                       x_ref, y_ref, flg_ref, p_ref,
+                       x_ref, y_ref, flg_ref, p_ref, one_ref,
                        ox_ref, oy_ref, oz_ref,
                        ax, ay, az):
     """One grid step = one block-position i of every block in this lane
     tile.  acc := restart ? from_affine(pt) : acc (+) pt, streamed out."""
     i = pl.program_id(1)
     p = p_ref[:, :]
+    onem = one_ref[:, :]                   # MONTGOMERY one (R mod p)
     T = p.shape[1]
 
     x = x_ref[0]
@@ -103,12 +104,11 @@ def _block_scan_kernel(L: int, pinv15: int, b3: int,
 
     y = _sel(sgn, _partial_carry(-y), y)
 
-    # from_affine(pt): inf -> (0, 1, 0); else (x, y, 1)
+    # from_affine(pt): inf -> (0, 1_mont, 0); else (x, y, 1_mont)
     zero = jnp.zeros((L, T), I32)
-    one = jnp.concatenate([jnp.ones((1, T), I32), zero[1:]], 0)
     fx = _sel(inf, zero, x)
-    fy = _sel(inf, one, y)
-    fz = _sel(inf, zero, one)
+    fy = _sel(inf, onem, y)
+    fz = _sel(inf, zero, onem)
 
     @pl.when(i == 0)
     def _init():
@@ -148,7 +148,7 @@ def _build_block_scan(L: int, pinv15: int, b3: int, m: int, nb: int,
             jax.ShapeDtypeStruct((m, L, nb), I32),
         ),
         grid=grid,
-        in_specs=[spec, spec, fspec, cspec],
+        in_specs=[spec, spec, fspec, cspec, cspec],
         out_specs=(spec, spec, spec),
         scratch_shapes=[
             pltpu.VMEM((L, tile), I32),
@@ -160,15 +160,16 @@ def _build_block_scan(L: int, pinv15: int, b3: int, m: int, nb: int,
 
 
 def block_madd_scan(x: jax.Array, y: jax.Array, flg: jax.Array,
-                    p_np, pinv15: int, b3: int,
+                    p_np, pinv15: int, b3: int, one_np,
                     tile: int = 512, interpret: bool = False):
     """Masked running mixed-add scan.
 
     x, y: (m, L, B) canonical affine limb planes in block-stream layout
     (axis 0 = position within block, axis 2 = block lanes); flg: (m, B)
-    int32 bitmask (SIGN_BIT | INF_BIT | NEW_BIT).  Returns projective
-    running values (X, Y, Z), each (m, L, B): position i of lane j holds
-    the sum of lane j's current segment up to step i.
+    int32 bitmask (SIGN_BIT | INF_BIT | NEW_BIT); one_np the Montgomery
+    one.  Returns projective running values (X, Y, Z), each (m, L, B):
+    position i of lane j holds the sum of lane j's current segment up to
+    step i.
     """
     m, L, B = x.shape
     pad = (-B) % tile
@@ -179,8 +180,9 @@ def block_madd_scan(x: jax.Array, y: jax.Array, flg: jax.Array,
         flg = jnp.concatenate([flg, padf], 1)
     nb = B + pad
     pb = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (L, tile))
+    oneb = jnp.broadcast_to(jnp.asarray(one_np)[:, None], (L, tile))
     call = _build_block_scan(L, pinv15, b3, m, nb, tile, interpret)
-    X, Y, Z = call(x, y, flg[:, None, :], pb)
+    X, Y, Z = call(x, y, flg[:, None, :], pb, oneb)
     if pad:
         X, Y, Z = X[..., :B], Y[..., :B], Z[..., :B]
     return X, Y, Z

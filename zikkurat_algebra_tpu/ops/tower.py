@@ -384,6 +384,7 @@ _TOWER_CACHE: dict = {}
 def get_tower(curve: CurveParams) -> TowerKernels:
     t = _TOWER_CACHE.get(curve.name)
     if t is None:
-        t = TowerKernels(curve)
+        with jax.ensure_compile_time_eval():   # see ntt.get_domain note
+            t = TowerKernels(curve)
         _TOWER_CACHE[curve.name] = t
     return t
