@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--group", default="g1", choices=["g1", "g2"],
                     help="MSM curve group (G2 coords are Fp2)")
     ap.add_argument("--workload", default="msm",
-                    choices=["msm", "ntt", "fieldmul", "kzg", "pairing"],
+                    choices=["msm", "ntt", "fieldmul", "kzg", "pairing",
+                             "scaling"],
                     help="which BASELINE workload to time")
     args = ap.parse_args()
 
@@ -66,6 +67,8 @@ def main():
             "ZIKKURAT_NO_PALLAS"):
         Field.use_pallas = True
 
+    if args.workload == "scaling":
+        return bench_scaling(args, jax)
     if args.workload == "ntt":
         return bench_ntt(args, jax)
     if args.workload == "fieldmul":
@@ -164,6 +167,76 @@ def main():
         f"run={per_run * 1e3:.1f}ms",
         file=sys.stderr,
     )
+
+
+def bench_scaling(args, jax):
+    """Multi-device scaling efficiency on the virtual CPU mesh: sharded
+    MSM ops/s at mesh size 1 vs 8 (weak-scaling check of the parallel/
+    layer; real multi-chip numbers await hardware).  Efficiency =
+    (T_1device / T_8device) / 8 for the SAME total problem size."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+    from zikkurat_algebra_tpu.ops.field import ints_to_limbs15
+    from zikkurat_algebra_tpu.parallel.msm import sharded_msm
+
+    ndev_all = len(jax.devices())
+    assert ndev_all >= 8, "run with --cpu (8 virtual devices)"
+    curve = P.CURVES[args.curve]
+    ck = get_curves(curve)
+    fr = ck.fr
+    msm = ck.msm("g1")
+    gops = ck.g1
+    n = 1 << min(args.n, 13)
+
+    rng = np.random.RandomState(7)
+    ks = [int.from_bytes(rng.bytes(40), "little") % fr.p for _ in range(n)]
+    k_limbs = jnp.asarray(ints_to_limbs15(ks, fr.L))
+    G = gops.from_affine(ck.encode_g1([ck.oracle_g1.gen] * 256))
+    seeds = gops.to_affine(gops.scalar_mul_fr_std(
+        fr.encode(
+            [int.from_bytes(rng.bytes(40), "little") % fr.p or 1
+             for _ in range(256)],
+            mont=False,
+        ),
+        G,
+    ))
+    reps = max(n // 256, 1)
+    pts = tuple(
+        jnp.tile(c, (1,) * (c.ndim - 1) + (reps,))[..., :n] for c in seeds[:2]
+    ) + (jnp.tile(seeds[2], reps)[:n],)
+
+    got1 = got8 = None
+    times = {}
+    for ndev in (1, 8):
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("data",))
+        r = sharded_msm(msm, mesh, k_limbs, pts)     # compile + warm
+        jax.block_until_ready(r)
+        t0 = time.time()
+        iters = 2
+        for _ in range(iters):
+            r = sharded_msm(msm, mesh, k_limbs, pts)
+            jax.block_until_ready(r)
+        times[ndev] = (time.time() - t0) / iters
+        dec = ck.decode_g1(gops.to_affine(tuple(x[..., None] for x in r)))
+        if ndev == 1:
+            got1 = dec
+        else:
+            got8 = dec
+    assert got1 == got8, "sharded MSM result differs across mesh sizes"
+    eff = times[1] / times[8] / 8
+    out = {
+        "metric": f"{args.curve.lower().replace('-', '_')}_msm_2e{min(args.n, 13)}_scaling_eff_8dev",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "vs_baseline": 0.0,
+    }
+    print(json.dumps(out))
+    print(f"# t1={times[1]*1e3:.0f}ms t8={times[8]*1e3:.0f}ms "
+          f"speedup={times[1]/times[8]:.2f}x backend=cpu(virtual)",
+          file=sys.stderr)
 
 
 def bench_ntt(args, jax):

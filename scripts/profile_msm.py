@@ -46,8 +46,8 @@ def main():
     pts = tuple(
         jnp.tile(x, (1,) * (x.ndim - 1) + (n // 256,)) for x in G[:2]
     ) + (jnp.tile(G[2], n // 256),)
-    Pp = ops.from_affine(pts)
-    Pp = tuple(ops.f.norm(p) for p in Pp)
+    Pp = (ops.f.norm(pts[0]), ops.f.norm(pts[1]))
+    inf = pts[2].astype(jnp.int32)
 
     nbits = fr.p.bit_length()
     digits = M.digits_from_limbs(k, c, nbits)
@@ -100,7 +100,8 @@ def main():
                 rows *= s
             Ps.append(full[:rows].reshape(p.shape[:-1] + (wc, n)))
             off += rc
-        return M._segment_reduce_blocked(ops, tuple(Ps), ds, block, nbuckets)
+        aff = (Ps[0], Ps[1], jnp.zeros((wc, n), jnp.bool_))
+        return M._segment_reduce_blocked(ops, aff, ds, block, nbuckets)
 
     secs, seg_out = timed(jax.jit(seg_stage), sorted_flat, d_sorted, iters=3)
     print(f"blocked segreduce: {secs*1e3:.0f} ms", flush=True)

@@ -67,6 +67,39 @@ def test_msm_vs_oracle_g2(rng, ck):
     assert got == want
 
 
+def test_msm_pallas_bucket_path(rng):
+    """End-to-end msm_std through the fused Pallas bucket kernel
+    (interpret mode) must equal the XLA scan path and the oracle — this
+    covers the packed sort payload -> kernel -> stream-layout scatter
+    wiring in _buckets_pallas, incl. cross-block carries."""
+    ck = get_curves(P.BLS12_381)
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    f = ck.g1.f
+    n = 48
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[5] = None                         # infinity input
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    ks[2] = 0
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    old = (f.use_pallas, f.pallas_tile_msm, f.pallas_interpret)
+    f.use_pallas, f.pallas_tile_msm, f.pallas_interpret = True, 32, True
+    try:
+        # c=3 keeps segments long (cross-block carries), block=8 small;
+        # fresh jit: the cached trace was taken with use_pallas False
+        import jax
+
+        res = jax.jit(
+            msm.msm_std.__wrapped__, static_argnums=(0, 3, 4, 5)
+        )(msm, k_limbs, A, 3, 4, 8)
+    finally:
+        f.use_pallas, f.pallas_tile_msm, f.pallas_interpret = old
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want
+
+
 def test_window_size_heuristic():
     # c = round(log2 N - 3.5) clamped (bn128_G1_jac.c:648-650)
     assert window_size(1 << 20) == 16

@@ -96,10 +96,25 @@ def test_ntt_via_pallas_path():
     assert list(f.decode(got)) == ys
 
 
-def test_block_madd_scan_bitexact():
+def _pack15(planes):
+    """(L, m, B) canonical limb planes -> (m, Lp, B) packed sort-payload
+    rows (two 15-bit limbs per int32) — the layout ops/msm.py ships to
+    the bucket kernel."""
+    L = planes.shape[0]
+    if L % 2:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((1,) + planes.shape[1:], planes.dtype)], 0
+        )
+    half = planes.shape[0] // 2
+    packed = planes[:half] | (planes[half:] << 15)
+    return jnp.moveaxis(packed, 1, 0)  # (m, Lp, B)
+
+
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_block_madd_scan_bitexact(unroll):
     """The streamed masked running mixed-add kernel must be bit-identical
     to the composed ops.madd / from_affine / select scan on the same
-    inputs, including sign, infinity and restart flags."""
+    inputs, including sign, infinity and restart flags, for any unroll."""
     import numpy as np
     from zikkurat_algebra_tpu.params import BLS12_381
     from zikkurat_algebra_tpu.ops.curve import get_curves
@@ -114,8 +129,8 @@ def test_block_madd_scan_bitexact():
     r = random.Random(3)
     xs = f.encode([r.randrange(f.p) for _ in range(m * B)]).reshape(f.L, m, B)
     ys = f.encode([r.randrange(f.p) for _ in range(m * B)]).reshape(f.L, m, B)
-    xs = jnp.moveaxis(xs, 1, 0)  # (m, L, B)
-    ys = jnp.moveaxis(ys, 1, 0)
+    px = _pack15(f.norm(xs))
+    py = _pack15(f.norm(ys))
     np_r = np.random.default_rng(5)
     sg = np_r.integers(0, 2, (m, B)).astype(bool)
     inf = np_r.integers(0, 5, (m, B)) == 0
@@ -128,21 +143,19 @@ def test_block_madd_scan_bitexact():
     ).astype(np.int32)
 
     X, Y, Z = block_madd_scan(
-        xs, ys, jnp.asarray(flg), f.p_np, f.pinv15, ops.b3, f.one_np,
-        tile=B, interpret=True,
-    )
+        px, py, jnp.asarray(flg), f.L, f.p_np, f.pinv15, ops.b3, f.one_np,
+        tile=B, unroll=unroll, interpret=True,
+    )  # (L, m, B)
 
     # XLA reference: same dataflow with the composed curve ops
     sgj = jnp.asarray(sg)
+    xs_c, ys_c = f.norm(xs), f.norm(ys)
     acc = ops.infinity((B,))
-    outs = []
     for i in range(m):
-        y_eff = f.select(sgj[i], f.neg(ys[i]), ys[i])
-        pt = (xs[i], y_eff, jnp.asarray(inf[i]))
+        y_eff = f.select(sgj[i], f.neg(ys_c[:, i]), ys_c[:, i])
+        pt = (xs_c[:, i], y_eff, jnp.asarray(inf[i]))
         summed = ops.madd(acc, pt)
         acc = ops.select(jnp.asarray(new[i]), ops.from_affine(pt), summed)
-        outs.append(acc)
-    for i in range(m):
-        assert jnp.array_equal(X[i], outs[i][0]), f"X step {i}"
-        assert jnp.array_equal(Y[i], outs[i][1]), f"Y step {i}"
-        assert jnp.array_equal(Z[i], outs[i][2]), f"Z step {i}"
+        assert jnp.array_equal(X[:, i], acc[0]), f"X step {i}"
+        assert jnp.array_equal(Y[:, i], acc[1]), f"Y step {i}"
+        assert jnp.array_equal(Z[:, i], acc[2]), f"Z step {i}"

@@ -133,6 +133,7 @@ class Field:
     # stay on the scan path, Pallas interpret mode is too slow on CPU).
     use_pallas = False
     pallas_tile = 512
+    pallas_tile_msm = 256     # lane tile of the MSM bucket kernel (swept)
     pallas_interpret = False  # CPU emulation of the kernels (tests only)
 
     def _mul_impl(self, a, b):

@@ -149,9 +149,6 @@ def _segment_reduce_blocked(ops: ProjCurveOps, aff, seg_id: jax.Array,
     wc, n = seg_id.shape
     nblk = n // m
     d_blk = seg_id.reshape(wc, nblk, m)
-    x, y, inf = aff
-    L = x.shape[0]
-    struct = x.shape[:-2]                      # () for Fp, (2,) for Fp2
 
     def split_blocks(p):
         z = p.reshape(p.shape[:-1] + (nblk, m))
@@ -162,36 +159,17 @@ def _segment_reduce_blocked(ops: ProjCurveOps, aff, seg_id: jax.Array,
     new_seg = new_seg.at[..., 0].set(True)     # block starts restart
     new_m = jnp.moveaxis(new_seg, -1, 0)       # (m, wc, nblk)
 
-    f = ops.f
-    use_kernel = (
-        getattr(f, "use_pallas", False) and ops.b3_small and not struct
-    )
-    if use_kernel:
-        from .pallas_curve import block_madd_scan, INF_BIT, NEW_BIT
+    x, y, inf = aff
+    aff_m = (split_blocks(x), split_blocks(y), split_blocks(inf))
 
-        B = wc * nblk
-        xs = split_blocks(x).reshape(m, L, B)
-        ys_in = split_blocks(y).reshape(m, L, B)
-        flg = (
-            jnp.where(split_blocks(inf), INF_BIT, 0)
-            | jnp.where(new_m, NEW_BIT, 0)
-        ).reshape(m, B).astype(jnp.int32)
-        X, Y, Z = block_madd_scan(
-            xs, ys_in, flg, f.p_np, f.pinv15, ops.b3, f.one_np,
-            tile=f.pallas_tile, interpret=f.pallas_interpret,
-        )
-        ys_m = tuple(o.reshape(m, L, wc, nblk) for o in (X, Y, Z))
-    else:
-        aff_m = (split_blocks(x), split_blocks(y), split_blocks(inf))
+    def body(acc, inp):
+        pt, new = inp
+        summed = ops.madd(acc, pt)
+        nxt = ops.select(new, ops.from_affine(pt), summed)
+        return nxt, nxt
 
-        def body(acc, inp):
-            pt, new = inp
-            summed = ops.madd(acc, pt)
-            nxt = ops.select(new, ops.from_affine(pt), summed)
-            return nxt, nxt
-
-        acc0 = ops.infinity((wc, nblk))
-        _, ys_m = lax.scan(body, acc0, (aff_m, new_m))
+    acc0 = ops.infinity((wc, nblk))
+    _, ys_m = lax.scan(body, acc0, (aff_m, new_m))
     S = tuple(y[-1] for y in ys_m)             # trailing partials (.., wc, nblk)
     ys = tuple(
         jnp.moveaxis(y, 0, -1).reshape(y.shape[1:-2] + (wc, n,))
@@ -203,8 +181,17 @@ def _segment_reduce_blocked(ops: ProjCurveOps, aff, seg_id: jax.Array,
         [seg_id[..., 1:] != seg_id[..., :-1],
          jnp.ones((wc, 1), jnp.bool_)], axis=-1
     )
+    C, cidx = _level2_carries(ops, d_blk, S, nbuckets)
+    return ys, tail, C, cidx
 
-    # --- level 2: cross-block carries ---
+
+def _level2_carries(ops: ProjCurveOps, d_blk: jax.Array, S, nbuckets: int):
+    """Cross-block carry combination (level 2 of the blocked segmented
+    reduction): combine trailing partials S of consecutive connected
+    blocks with a small segmented associative scan and return the
+    correction points C plus the bucket index (cidx) each carry lands in
+    (the block where the spanning segment ENDS)."""
+    wc, nblk, m = d_blk.shape
     d_first = d_blk[..., 0]
     d_last = d_blk[..., -1]
     uniform = d_first == d_last                # sorted => uniform block
@@ -243,7 +230,71 @@ def _segment_reduce_blocked(ops: ProjCurveOps, aff, seg_id: jax.Array,
                        jnp.logical_not(conn_next)),
     )
     cidx = jnp.where(ends_here, d_first, nbuckets)
-    return ys, tail, C, cidx
+    return C, cidx
+
+
+def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
+                    m: int, nbuckets: int):
+    """Bucket accumulation with the fused Pallas level-1 kernel
+    (pallas_curve.block_madd_scan): packed sorted payload in, bucket
+    arrays out — no unpacking pass and no output relayout (the kernel
+    writes (L, m, B) which the scatter consumes directly).
+
+    px, py: (Rp, wc, n) PACKED sorted coordinate rows; flagrow (wc, n)
+    int32 with SIGN|INF bits (straight off the sort); seg_id (wc, n)
+    sorted digits.  Returns the (wc, nbuckets+1) bucket array tuple
+    (slot nbuckets = dump)."""
+    from .pallas_curve import block_madd_scan, NEW_BIT
+
+    f = ops.f
+    L = f.L
+    wc, n = seg_id.shape
+    nblk = n // m
+    B = wc * nblk
+    d_blk = seg_id.reshape(wc, nblk, m)
+
+    def stream(rows):                          # (R, wc, n) -> (m, R, B)
+        z = rows.reshape(rows.shape[0], wc, nblk, m)
+        return jnp.moveaxis(z, -1, 0).reshape(m, rows.shape[0], B)
+
+    prev = jnp.concatenate([d_blk[..., :1], d_blk[..., :-1]], -1)
+    new_seg = d_blk != prev
+    new_seg = new_seg.at[..., 0].set(True)     # block starts restart
+    new_m = jnp.moveaxis(new_seg, -1, 0)       # (m, wc, nblk)
+    flg = (
+        stream(flagrow[None])[:, 0]
+        | jnp.where(new_m, NEW_BIT, 0).reshape(m, B)
+    )
+
+    X, Y, Z = block_madd_scan(
+        stream(px), stream(py), flg, L, f.p_np, f.pinv15, ops.b3,
+        f.one_np, tile=f.pallas_tile_msm, interpret=f.pallas_interpret,
+    )                                           # (L, m, B) running values
+
+    S = tuple(o[:, -1].reshape(L, wc, nblk) for o in (X, Y, Z))
+    C, cidx = _level2_carries(ops, d_blk, S, nbuckets)
+
+    # stream-layout tail extraction + scatter (cf. the XLA path's): the
+    # running value at a segment's global tail position is the segment's
+    # in-block sum; everything else goes to the dump slot.
+    tail = jnp.concatenate(
+        [seg_id[..., 1:] != seg_id[..., :-1],
+         jnp.ones((wc, 1), jnp.bool_)], axis=-1
+    ).reshape(wc, nblk, m)
+    tail_s = jnp.moveaxis(tail, -1, 0)          # (m, wc, nblk)
+    d_s = jnp.moveaxis(d_blk, -1, 0)            # (m, wc, nblk)
+    idx = jnp.where(tail_s, d_s, nbuckets)
+    rows = jnp.arange(wc, dtype=jnp.int32)[None, :, None]
+    rows2 = jnp.arange(wc, dtype=jnp.int32)[:, None]
+    binf = ops.infinity((wc, nbuckets + 1))
+    buckets = tuple(
+        b.at[:, rows, idx].set(o.reshape(L, m, wc, nblk))
+        for b, o in zip(binf, (X, Y, Z))
+    )
+    corr = tuple(
+        b.at[:, rows2, cidx].set(s) for b, s in zip(binf, C)
+    )
+    return ops.add(buckets, corr)
 
 
 class MSM:
@@ -346,6 +397,26 @@ class MSM:
             keys = jnp.broadcast_to(ad[None], flat.shape)
             _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
             d_sorted = lax.sort(ad, dimension=1)
+            use_kernel = (
+                block
+                and getattr(ops.f, "use_pallas", False)
+                and ops.b3_small
+                and not coord_shapes[0][:-2]    # Fp coords only (G1)
+            )
+            if use_kernel:
+                buckets = _buckets_pallas(
+                    ops,
+                    sorted_flat[:row_counts[0]],
+                    sorted_flat[row_counts[0]:row_counts[0] + row_counts[1]],
+                    sorted_flat[-1],
+                    d_sorted, block, nbuckets,
+                )
+                buckets = tuple(b[..., 1:nbuckets] for b in buckets)
+                suffix = lax.associative_scan(
+                    lambda A, B: ops.add(A, B), buckets,
+                    axis=buckets[0].ndim - 1, reverse=True,
+                )
+                return None, _tree_reduce(ops, suffix)
             sg_sorted = (sorted_flat[-1] & 1) == 1          # (wc, n)
             inf_sorted = (sorted_flat[-1] & 2) == 2         # (wc, n)
             Ps = []

@@ -84,72 +84,90 @@ def _madd(L: int, pinv15: int, b3: int, acc, x2, y2, inf2, p):
     )
 
 
-def _block_scan_kernel(L: int, pinv15: int, b3: int,
+def _unpack(pk, L: int):
+    """(Lp, T) packed rows (two 15-bit limbs per int32) -> (L, T) limb
+    planes — mirror of the pack in ops/msm.py."""
+    lo = pk & 32767
+    hi = (pk >> 15) & 32767
+    return jnp.concatenate([lo, hi], 0)[:L]
+
+
+def _block_scan_kernel(L: int, pinv15: int, b3: int, unroll: int,
                        x_ref, y_ref, flg_ref, p_ref, one_ref,
                        ox_ref, oy_ref, oz_ref,
                        ax, ay, az):
-    """One grid step = one block-position i of every block in this lane
-    tile.  acc := restart ? from_affine(pt) : acc (+) pt, streamed out."""
+    """One grid step = `unroll` consecutive block-positions of every
+    block in this lane tile.  acc := restart ? from_affine(pt)
+    : acc (+) pt, streamed out.  Inputs arrive PACKED (straight off the
+    sort network payload — halves the streamed bytes); outputs go out in
+    (L, m, B) layout so the bucket scatter needs no relayout.  The
+    unroll keeps the accumulator in registers across the inner madds."""
     i = pl.program_id(1)
     p = p_ref[:, :]
     onem = one_ref[:, :]                   # MONTGOMERY one (R mod p)
     T = p.shape[1]
-
-    x = x_ref[0]
-    y = y_ref[0]
-    flg = flg_ref[0]                       # (1, T) int32 bitmask
-    sgn = (flg & SIGN_BIT) != 0
-    inf = (flg & INF_BIT) != 0
-    new = (flg & NEW_BIT) != 0
-
-    y = _sel(sgn, _partial_carry(-y), y)
-
-    # from_affine(pt): inf -> (0, 1_mont, 0); else (x, y, 1_mont)
     zero = jnp.zeros((L, T), I32)
-    fx = _sel(inf, zero, x)
-    fy = _sel(inf, onem, y)
-    fz = _sel(inf, zero, onem)
 
-    @pl.when(i == 0)
-    def _init():
-        ax[:, :] = fx
-        ay[:, :] = fy
-        az[:, :] = fz
+    acc = (ax[:, :], ay[:, :], az[:, :])
+    for u in range(unroll):
+        x = _unpack(x_ref[u], L)
+        y = _unpack(y_ref[u], L)
+        flg = flg_ref[u]                   # (1, T) int32 bitmask
+        sgn = (flg & SIGN_BIT) != 0
+        inf = (flg & INF_BIT) != 0
+        new = (flg & NEW_BIT) != 0
 
-    @pl.when(i != 0)
-    def _step():
-        acc = (ax[:, :], ay[:, :], az[:, :])
+        y = _sel(sgn, _partial_carry(-y), y)
+
+        # from_affine(pt): inf -> (0, 1_mont, 0); else (x, y, 1_mont)
+        fx = _sel(inf, zero, x)
+        fy = _sel(inf, onem, y)
+        fz = _sel(inf, zero, onem)
+
         sx, sy, sz = _madd(L, pinv15, b3, acc, x, y, inf, p)
-        ax[:, :] = _sel(new, fx, sx)
-        ay[:, :] = _sel(new, fy, sy)
-        az[:, :] = _sel(new, fz, sz)
-
-    ox_ref[0] = ax[:, :]
-    oy_ref[0] = ay[:, :]
-    oz_ref[0] = az[:, :]
+        restart = new
+        if u == 0:
+            # very first grid step: the scratch accumulator is
+            # uninitialized — force a restart on every lane (the caller
+            # also sets NEW_BIT at block starts, so this is belt and
+            # braces; the discarded madd on garbage wraps harmlessly)
+            restart = jnp.logical_or(new, i == 0)
+        acc = (
+            _sel(restart, fx, sx),
+            _sel(restart, fy, sy),
+            _sel(restart, fz, sz),
+        )
+        ox_ref[:, u] = acc[0]
+        oy_ref[:, u] = acc[1]
+        oz_ref[:, u] = acc[2]
+    ax[:, :] = acc[0]
+    ay[:, :] = acc[1]
+    az[:, :] = acc[2]
 
 
 @functools.lru_cache(maxsize=None)
-def _build_block_scan(L: int, pinv15: int, b3: int, m: int, nb: int,
-                      tile: int, interpret: bool):
-    kernel = functools.partial(_block_scan_kernel, L, pinv15, b3)
-    grid = (nb // tile, m)
-    spec = pl.BlockSpec((1, L, tile), lambda j, i: (i, 0, j),
-                        memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, 1, tile), lambda j, i: (i, 0, j),
+def _build_block_scan(L: int, Lp: int, pinv15: int, b3: int, m: int,
+                      nb: int, tile: int, unroll: int, interpret: bool):
+    kernel = functools.partial(_block_scan_kernel, L, pinv15, b3, unroll)
+    grid = (nb // tile, m // unroll)
+    inspec = pl.BlockSpec((unroll, Lp, tile), lambda j, i: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((unroll, 1, tile), lambda j, i: (i, 0, j),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((L, tile), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, unroll, tile), lambda j, i: (0, i, j),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((m, L, nb), I32),
-            jax.ShapeDtypeStruct((m, L, nb), I32),
-            jax.ShapeDtypeStruct((m, L, nb), I32),
+            jax.ShapeDtypeStruct((L, m, nb), I32),
+            jax.ShapeDtypeStruct((L, m, nb), I32),
+            jax.ShapeDtypeStruct((L, m, nb), I32),
         ),
         grid=grid,
-        in_specs=[spec, spec, fspec, cspec, cspec],
-        out_specs=(spec, spec, spec),
+        in_specs=[inspec, inspec, fspec, cspec, cspec],
+        out_specs=(ospec, ospec, ospec),
         scratch_shapes=[
             pltpu.VMEM((L, tile), I32),
             pltpu.VMEM((L, tile), I32),
@@ -159,30 +177,34 @@ def _build_block_scan(L: int, pinv15: int, b3: int, m: int, nb: int,
     )
 
 
-def block_madd_scan(x: jax.Array, y: jax.Array, flg: jax.Array,
-                    p_np, pinv15: int, b3: int, one_np,
-                    tile: int = 512, interpret: bool = False):
+def block_madd_scan(px: jax.Array, py: jax.Array, flg: jax.Array,
+                    L: int, p_np, pinv15: int, b3: int, one_np,
+                    tile: int = 256, unroll: int = 1,
+                    interpret: bool = False):
     """Masked running mixed-add scan.
 
-    x, y: (m, L, B) canonical affine limb planes in block-stream layout
-    (axis 0 = position within block, axis 2 = block lanes); flg: (m, B)
-    int32 bitmask (SIGN_BIT | INF_BIT | NEW_BIT); one_np the Montgomery
-    one.  Returns projective running values (X, Y, Z), each (m, L, B):
-    position i of lane j holds the sum of lane j's current segment up to
-    step i.
+    px, py: (m, Lp, B) PACKED canonical affine limb rows (two limbs per
+    int32, the sort-payload format) in block-stream layout (axis 0 =
+    position within block, axis 2 = block lanes); flg: (m, B) int32
+    bitmask (SIGN_BIT | INF_BIT | NEW_BIT); one_np the Montgomery one.
+    Returns projective running values (X, Y, Z), each (L, m, B): column
+    (i, j) holds the sum of lane j's current segment up to step i.
     """
-    m, L, B = x.shape
+    m, Lp, B = px.shape
+    while m % unroll:
+        unroll //= 2
     pad = (-B) % tile
     if pad:
         padf = jnp.full((m, pad), NEW_BIT | INF_BIT, I32)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
-        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)))
+        px = jnp.pad(px, ((0, 0), (0, 0), (0, pad)))
+        py = jnp.pad(py, ((0, 0), (0, 0), (0, pad)))
         flg = jnp.concatenate([flg, padf], 1)
     nb = B + pad
     pb = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (L, tile))
     oneb = jnp.broadcast_to(jnp.asarray(one_np)[:, None], (L, tile))
-    call = _build_block_scan(L, pinv15, b3, m, nb, tile, interpret)
-    X, Y, Z = call(x, y, flg[:, None, :], pb, oneb)
+    call = _build_block_scan(L, Lp, pinv15, b3, m, nb, tile, unroll,
+                             interpret)
+    X, Y, Z = call(px, py, flg[:, None, :], pb, oneb)
     if pad:
         X, Y, Z = X[..., :B], Y[..., :B], Z[..., :B]
     return X, Y, Z
