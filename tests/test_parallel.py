@@ -64,3 +64,62 @@ def test_sharded_msm_matches_single_device(rng, mesh):
     res = sharded_msm(ck.msm("g1"), mesh, k_limbs, A, c=4)
     got = ck.decode_g1(ck.g1.to_affine(res))
     assert got == want
+
+
+def test_sharded_poly_mul_eval(rng, mesh):
+    """Sharded NTT-mul and distributed evaluation vs the single-device
+    PolyOps kernels and python ints."""
+    from zikkurat_algebra_tpu.ops.poly import PolyOps
+    from zikkurat_algebra_tpu.parallel.poly import ShardedPolyOps
+
+    f = get_field(P.BN128_FR)
+    m = 7
+    n = 1 << m
+    po = PolyOps(f)
+    sp = ShardedPolyOps(f, m, mesh)
+    av = [rng.randrange(f.p) for _ in range(n // 2)] + [0] * (n // 2)
+    bv = [rng.randrange(f.p) for _ in range(n // 2)] + [0] * (n // 2)
+    a = shard_batch(mesh, f.encode(av))
+    b = shard_batch(mesh, f.encode(bv))
+    got = f.decode(sp.mul(a, b))
+    want = f.decode(po.mul_ntt(f.encode(av), f.encode(bv)))
+    want = want + [0] * (n - len(want))
+    assert got == want[:n]
+
+    x = rng.randrange(f.p)
+    ev = f.decode(sp.eval_at(f.encode(x), a))
+    assert ev == sum(c * pow(x, i, f.p) for i, c in enumerate(av)) % f.p
+
+
+@pytest.mark.parametrize("n_van", [2, 8, 16])
+def test_sharded_div_by_vanishing(rng, mesh, n_van):
+    """Sharded (x^n - eta) division: quotient and remainder must equal
+    the single-device kernel for blocks nested inside and equal to the
+    per-device chunk."""
+    from zikkurat_algebra_tpu.ops.poly import PolyOps
+    from zikkurat_algebra_tpu.parallel.poly import ShardedPolyOps
+
+    f = get_field(P.BN128_FR)
+    m = 7
+    n = 1 << m
+    po = PolyOps(f)
+    sp = ShardedPolyOps(f, m, mesh)
+    av = [rng.randrange(f.p) for _ in range(n)]
+    eta = rng.randrange(1, f.p)
+    a = shard_batch(mesh, f.encode(av))
+    q, r = sp.div_by_vanishing(a, n_van, f.encode(eta))
+    q_want, r_want = po.div_by_vanishing(f.encode(av), n_van, f.encode(eta))
+    got_q = f.decode(q)
+    assert got_q[: n - n_van] == f.decode(q_want)
+    assert all(v == 0 for v in got_q[n - n_van:])
+    assert f.decode(r) == f.decode(r_want)
+    # reconstruction: a == q*(x^n_van - eta) + r over ints
+    qv = got_q[: n - n_van]
+    rv = f.decode(r)
+    recon = [0] * n
+    for i, c in enumerate(qv):
+        recon[i + n_van] = (recon[i + n_van] + c) % f.p
+        recon[i] = (recon[i] - c * eta) % f.p
+    for i, c in enumerate(rv):
+        recon[i] = (recon[i] + c) % f.p
+    assert recon == [v % f.p for v in av]

@@ -179,7 +179,7 @@ def _build_block_scan(L: int, Lp: int, pinv15: int, b3: int, m: int,
 
 def block_madd_scan(px: jax.Array, py: jax.Array, flg: jax.Array,
                     L: int, p_np, pinv15: int, b3: int, one_np,
-                    tile: int = 256, unroll: int = 1,
+                    tile: int = 256, unroll: int = 8,
                     interpret: bool = False):
     """Masked running mixed-add scan.
 
@@ -191,6 +191,9 @@ def block_madd_scan(px: jax.Array, py: jax.Array, flg: jax.Array,
     (i, j) holds the sum of lane j's current segment up to step i.
     """
     m, Lp, B = px.shape
+    # Mosaic needs the OUTPUT block (L, unroll, tile) sublane dim
+    # divisible by 8, so unroll must be a multiple of 8 on hardware
+    # (measured best at 8; interpret mode accepts any power of two)
     while m % unroll:
         unroll //= 2
     pad = (-B) % tile
