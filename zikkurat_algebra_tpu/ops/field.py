@@ -132,6 +132,8 @@ class Field:
     # set BEFORE any tracing (bench enables it on the TPU backend; tests
     # stay on the scan path, Pallas interpret mode is too slow on CPU).
     use_pallas = False
+    use_msm_kernel = True     # fused bucket kernel (only if use_pallas)
+    use_ntt_kernel = True     # fused butterfly kernel (only if use_pallas)
     pallas_tile = 512
     pallas_tile_msm = 256     # lane tile of the MSM bucket kernel (swept)
     pallas_interpret = False  # CPU emulation of the kernels (tests only)

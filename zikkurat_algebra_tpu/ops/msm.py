@@ -102,6 +102,50 @@ def _tree_reduce(ops: ProjCurveOps, P: Point) -> Point:
     return tuple(p[..., 0] for p in P)
 
 
+def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
+    """sum_b (b+1) * S_b over the last axis (the Pippenger weighted
+    bucket sum, digit = index+1) in ~2B group adds instead of the
+    ~B*log2(B) of a full suffix scan (the log-depth replacement for the
+    serial running sums, bn128_G1_jac.c:620-631).
+
+    Two-level decomposition: write b = hi*M + lo (M = 2^k ~ sqrt(B)).
+      sum_b (b+1) S_b = M * sum_hi hi*R_hi + sum_lo (lo+1)*C_lo
+    with row sums R_hi = sum_lo S and column sums C_lo = sum_hi S —
+    two tree reductions (~2B adds) plus two sqrt(B)-sized weighted sums
+    (suffix scan + tree) and k doublings."""
+    add = lambda A, B: ops.add(A, B)
+    axis = S[0].ndim - 1
+    B = S[0].shape[-1]
+    if B <= 64:
+        suffix = lax.associative_scan(add, S, axis=axis, reverse=True)
+        return _tree_reduce(ops, suffix)
+    k = (B - 1).bit_length() // 2
+    M = 1 << k
+    H = -(-B // M)
+    pad = H * M - B
+    if pad:
+        inf = ops.infinity(S[0].shape[ops.f.struct_ndim:-1] + (pad,))
+        S = tuple(jnp.concatenate([s, i], -1) for s, i in zip(S, inf))
+    G = tuple(s.reshape(s.shape[:-1] + (H, M)) for s in S)
+    R = _tree_reduce(ops, G)                       # (.., H): sum over lo
+    C = _tree_reduce(ops, tuple(jnp.swapaxes(g, -1, -2) for g in G))
+
+    def wsum(T, from_one: bool) -> Point:
+        # sum_i w_i T_i, w = 1..n (from_one) or 0..n-1 (suffix trick:
+        # sum of suffix sums, dropping the full-sum head when w starts
+        # at 0)
+        suf = lax.associative_scan(add, T, axis=axis, reverse=True)
+        if not from_one:
+            suf = tuple(s[..., 1:] for s in suf)
+        return _tree_reduce(ops, suf)
+
+    Whi = wsum(R, from_one=False)
+    Wlo = wsum(C, from_one=True)
+    for _ in range(k):
+        Whi = ops.dbl(Whi)
+    return ops.add(Whi, Wlo)
+
+
 def _segment_scan_tails(ops: ProjCurveOps, P: Point, seg_id: jax.Array
                         ) -> Tuple[Point, jax.Array]:
     """Inclusive segmented scan of points along the last axis, grouped by
@@ -400,6 +444,7 @@ class MSM:
             use_kernel = (
                 block
                 and getattr(ops.f, "use_pallas", False)
+                and getattr(ops.f, "use_msm_kernel", True)
                 and ops.b3_small
                 and not coord_shapes[0][:-2]    # Fp coords only (G1)
             )
@@ -412,11 +457,7 @@ class MSM:
                     d_sorted, block, nbuckets,
                 )
                 buckets = tuple(b[..., 1:nbuckets] for b in buckets)
-                suffix = lax.associative_scan(
-                    lambda A, B: ops.add(A, B), buckets,
-                    axis=buckets[0].ndim - 1, reverse=True,
-                )
-                return None, _tree_reduce(ops, suffix)
+                return None, _weighted_bucket_sum(ops, buckets)
             sg_sorted = (sorted_flat[-1] & 1) == 1          # (wc, n)
             inf_sorted = (sorted_flat[-1] & 2) == 2         # (wc, n)
             Ps = []
@@ -464,12 +505,7 @@ class MSM:
                     for b, s in zip(binf, scanned)
                 )
             buckets = tuple(b[..., 1:nbuckets] for b in buckets)
-            suffix = lax.associative_scan(
-                lambda A, B: ops.add(A, B), buckets,
-                axis=buckets[0].ndim - 1, reverse=True,
-            )
-            Wres = _tree_reduce(ops, suffix)                # batch (wc,)
-            return None, Wres
+            return None, _weighted_bucket_sum(ops, buckets)
 
         _, Ws = lax.scan(per_chunk, None, digits)   # leaves (nchunks, L.., wc)
 

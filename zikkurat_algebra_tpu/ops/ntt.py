@@ -135,7 +135,7 @@ class NTTDomain:
                 (L,) + batch + (nblocks, half),
             ).reshape((L,) + batch + (n // 2,))
             fused = None
-            if f.use_pallas:
+            if f.use_pallas and getattr(f, "use_ntt_kernel", True):
                 from .pallas_field import butterfly_pallas
 
                 # one fused kernel per stage (mul+add+sub, no HBM round
