@@ -66,10 +66,11 @@ def main():
     if jax.devices()[0].platform != "cpu" and not os.environ.get(
             "ZIKKURAT_NO_PALLAS"):
         Field.use_pallas = True
+        Field.use_mxu = True
     if os.environ.get("ZIKKURAT_NO_MSM_KERNEL"):
         Field.use_msm_kernel = False
-    if os.environ.get("ZIKKURAT_NO_NTT_KERNEL"):
-        Field.use_ntt_kernel = False
+    if os.environ.get("ZIKKURAT_NTT_KERNEL"):
+        Field.use_ntt_kernel = True
 
     if args.workload == "scaling":
         return bench_scaling(args, jax)

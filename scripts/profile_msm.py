@@ -122,16 +122,41 @@ def main():
                           iters=3)
     print(f"bucket scatter+corr: {secs*1e3:.0f} ms", flush=True)
 
-    def weighted(buckets):
+    def weighted_old(buckets):
         suffix = lax.associative_scan(
             lambda A, B: ops.add(A, B), buckets,
             axis=buckets[0].ndim - 1, reverse=True)
         return M._tree_reduce(ops, suffix)
 
-    secs, Wres = timed(jax.jit(weighted), buckets, iters=3)
+    secs, Wres = timed(jax.jit(weighted_old), buckets, iters=3)
     print(f"suffix+tree ({nbuckets - 1} buckets): {secs*1e3:.0f} ms", flush=True)
 
-    total_est = None
+    secs, Wres2 = timed(
+        jax.jit(lambda b: M._weighted_bucket_sum(ops, b)), buckets, iters=3)
+    print(f"two-level weighted sum: {secs*1e3:.0f} ms", flush=True)
+
+    # fused Pallas level-1 bucket pipeline (the default path on hardware)
+    if getattr(ops.f, "use_pallas", False) and ops.b3_small:
+        sg = (dchunk < 0).astype(jnp.int32)  # unsigned digits here: zeros
+        def kernel_stage(sf, ds):
+            half = (1 << (c - 1))
+            nb2 = half + 1
+            buckets = M._buckets_pallas(
+                ops, sf[:packed_rows[0].shape[0]],
+                sf[packed_rows[0].shape[0]:
+                   packed_rows[0].shape[0] + packed_rows[1].shape[0]],
+                sf[-1] * 0, jnp.minimum(ds, nb2), block, nb2,
+            )
+            return M._weighted_bucket_sum(
+                ops, tuple(b[..., 1:nb2] for b in buckets))
+
+        flat1 = jnp.broadcast_to(packed[:, None, :],
+                                 (packed.shape[0], wc, n))
+        flat1 = jnp.concatenate(
+            [flat1, jnp.zeros((1, wc, n), jnp.int32)], 0)
+        secs, _ = timed(jax.jit(kernel_stage), flat1, d_sorted, iters=3)
+        print(f"pallas bucket kernel + weighted sum: {secs*1e3:.0f} ms",
+              flush=True)
     print("done", flush=True)
 
 

@@ -60,6 +60,32 @@ def test_large_sum(rng, fr):
     assert f.decode(V.sum_mod(f, a)) == sum(av) % o.p
 
 
+def test_mxu_gram_dot(rng, fr):
+    """The Gram-matmul MXU dot product is bit-exact vs the VPU path and
+    the oracle, including the multi-chunk accumulation (chunk size
+    patched down so two chunks are exercised)."""
+    f, o = fr
+    n = 4096
+    # include boundary values among the samples
+    av = [rng.randrange(o.p) for _ in range(n - 3)] + [0, 1, o.p - 1]
+    bv = [rng.randrange(o.p) for _ in range(n - 3)] + [o.p - 1, 0, 1]
+    a, b = f.encode(av), f.encode(bv)
+    want = sum(x * y for x, y in zip(av, bv)) % o.p
+    old_flag = f.use_mxu
+    import zikkurat_algebra_tpu.ops.vector as Vmod
+    old_chunk = Vmod._GRAM_CHUNK
+    try:
+        type(f).use_mxu = True
+        got = f.decode(V.dot_prod(f, a, b))
+        assert got == want
+        Vmod._GRAM_CHUNK = 2048        # force the 2-chunk path
+        got2 = f.decode(V.dot_prod(f, a, b))
+        assert got2 == want
+    finally:
+        type(f).use_mxu = old_flag
+        Vmod._GRAM_CHUNK = old_chunk
+
+
 def test_poly_ring_ops(rng, fr):
     f, o = fr
     po = PolyOps(f)

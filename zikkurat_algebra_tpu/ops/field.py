@@ -132,10 +132,18 @@ class Field:
     # set BEFORE any tracing (bench enables it on the TPU backend; tests
     # stay on the scan path, Pallas interpret mode is too slow on CPU).
     use_pallas = False
+    use_mxu = False           # Gram-matmul dot products on the MXU
     use_msm_kernel = True     # fused bucket kernel (only if use_pallas)
-    use_ntt_kernel = True     # fused butterfly kernel (only if use_pallas)
+    # The fused butterfly kernel measured SLOWER than the XLA butterfly
+    # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
+    # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the
+    # big CIOS kernel beats the hand-fused version.  Kept for reference;
+    # enable with ZIKKURAT_NTT_KERNEL=1.
+    use_ntt_kernel = False
     pallas_tile = 512
-    pallas_tile_msm = 256     # lane tile of the MSM bucket kernel (swept)
+    pallas_tile_msm = 512     # lane tile of the MSM bucket kernel (swept:
+                              # 512 -> 138 ms, 256 -> 145, 1024 -> 170 at
+                              # the 2^18 chunk shape)
     pallas_interpret = False  # CPU emulation of the kernels (tests only)
 
     def _mul_impl(self, a, b):

@@ -116,7 +116,7 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
     add = lambda A, B: ops.add(A, B)
     axis = S[0].ndim - 1
     B = S[0].shape[-1]
-    if B <= 64:
+    if B <= 512:
         suffix = lax.associative_scan(add, S, axis=axis, reverse=True)
         return _tree_reduce(ops, suffix)
     k = (B - 1).bit_length() // 2
