@@ -134,6 +134,7 @@ class Field:
     use_pallas = False
     use_mxu = False           # Gram-matmul dot products on the MXU
     use_msm_kernel = True     # fused bucket kernel (only if use_pallas)
+    use_sort_kernel = True    # bitonic Pallas sort (only if use_pallas)
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

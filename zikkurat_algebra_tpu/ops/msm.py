@@ -438,9 +438,18 @@ class MSM:
                 packed[:, None, :], (packed.shape[0], wc, n)
             )
             flat = jnp.concatenate([flat, (sg | (infi[None] << 1))[None]], 0)
-            keys = jnp.broadcast_to(ad[None], flat.shape)
-            _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
-            d_sorted = lax.sort(ad, dimension=1)
+            if (getattr(ops.f, "use_pallas", False)
+                    and getattr(ops.f, "use_sort_kernel", True)
+                    and n & (n - 1) == 0 and n >= 2048):
+                from .pallas_sort import sort_key_val_pallas
+
+                d_sorted, sorted_flat = sort_key_val_pallas(
+                    ad, flat, interpret=ops.f.pallas_interpret
+                )
+            else:
+                keys = jnp.broadcast_to(ad[None], flat.shape)
+                _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
+                d_sorted = lax.sort(ad, dimension=1)
             use_kernel = (
                 block
                 and getattr(ops.f, "use_pallas", False)
