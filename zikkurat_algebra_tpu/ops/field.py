@@ -134,7 +134,15 @@ class Field:
     use_pallas = False
     use_mxu = False           # Gram-matmul dot products on the MXU
     use_msm_kernel = True     # fused bucket kernel (only if use_pallas)
-    use_sort_kernel = True    # bitonic Pallas sort (only if use_pallas)
+    # The VMEM bitonic sort (ops/pallas_sort.py) is bit-exact on
+    # hardware but ~10x SLOWER than XLA's built-in sort: compare-
+    # exchange at lane-crossing distances lowers to slow Mosaic shuffle
+    # code (rolls), and reshape views with tiny trailing dims don't
+    # lower at all.  A pure-XLA bitonic (1.34 s) also loses to the
+    # built-in sort (150 ms at 2^18 x 8 x 28 rows) — XLA does not fuse
+    # consecutive compare-exchange passes.  Keep the built-in sort;
+    # kernel retained behind this flag for future Mosaic work.
+    use_sort_kernel = False
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

@@ -89,8 +89,10 @@ class GroupFFT:
         n = self.n
         nb = P[0].ndim - ops.f.struct_ndim  # batch rank (should be 1: the domain)
         assert P[0].shape[-1] == n
-        perm = jnp.asarray(self._perm)
-        P = tuple(jnp.take(p, perm, axis=-1) for p in P)
+        from .ntt import bit_reverse, bit_reverse_halves
+
+        ra, rb = (jnp.asarray(r) for r in bit_reverse_halves(self.m))
+        P = tuple(bit_reverse(p, ra, rb) for p in P)
         struct = P[0].shape[:-1]
         for s in range(1, self.m + 1):
             half = 1 << (s - 1)

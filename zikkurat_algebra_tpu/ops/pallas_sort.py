@@ -38,27 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 I32 = jnp.int32
 
 
-def _cmpex(x, j: int, asc):
+def _cmpex(x, j: int, kk: int, tile_asc):
     """One bitonic compare-exchange pass at distance j on (R1, T) limb
-    rows; row 0 is the key.  asc: bool array broadcastable to
-    (1, T//(2j), 1) — True where the 2j-group sorts ascending."""
+    rows; row 0 is the key.  Partner values arrive via +-j rotations
+    (Mosaic lane/sublane rolls — reshapes with tiny trailing dims are
+    not supported on hardware).  Element i's 2j-group sorts ascending
+    iff ((i & kk) == 0) == tile_asc (kk = 0 gives a uniform merge in
+    the tile direction).  Wraparound values of the rolls are never
+    selected: i & j == 0 implies i + j = i | j < T."""
     R1, T = x.shape
-    xr = x.reshape(R1, T // (2 * j), 2, j)
-    u = xr[:, :, 0, :]
-    v = xr[:, :, 1, :]
-    ku = u[0:1]
-    kv = v[0:1]
-    swap = jnp.where(asc, ku > kv, kv > ku)      # (1, T/2j, j)
-    nu = jnp.where(swap, v, u)
-    nv = jnp.where(swap, u, v)
-    return jnp.stack([nu, nv], axis=2).reshape(R1, T)
-
-
-def _stage_asc(kk: int, j: int, T: int):
-    """Direction vector of stage kk, pass j, within one tile: ascending
-    iff (i & kk) == 0 — constant per 2j-group since kk >= 2j."""
-    g = jax.lax.broadcasted_iota(I32, (1, T // (2 * j), 1), 1)
-    return ((g * (2 * j)) & kk) == 0
+    up = jnp.roll(x, -j, axis=1)                  # x[i + j]
+    dn = jnp.roll(x, j, axis=1)                   # x[i - j]
+    i = jax.lax.broadcasted_iota(I32, (1, T), 1)
+    is_lo = (i & j) == 0
+    partner = jnp.where(is_lo, up, dn)            # x[i ^ j]
+    asc = ((i & kk) == 0) == tile_asc
+    want_min = is_lo == asc
+    k = x[0:1]
+    pk = partner[0:1]
+    # take-partner predicate without an i1-valued select (Mosaic cannot
+    # lower select_n BETWEEN bool vectors): ties keep own on both sides
+    take = (want_min & (pk < k)) | (~want_min & (pk > k))
+    return jnp.where(take, partner, x)
 
 
 def _local_sort_kernel(T: int, ntl: int, x_ref, o_ref):
@@ -73,8 +74,7 @@ def _local_sort_kernel(T: int, ntl: int, x_ref, o_ref):
     while kk <= T:
         j = kk // 2
         while j >= 1:
-            asc = _stage_asc(kk, j, T) == tile_asc
-            x = _cmpex(x, j, asc)
+            x = _cmpex(x, j, kk, tile_asc)
             j //= 2
         kk *= 2
     o_ref[:, :] = x
@@ -87,11 +87,10 @@ def _local_merge_kernel(T: int, ntl: int, k: int, x_ref, o_ref):
     t = pl.program_id(0)
     lt = jax.lax.rem(t, ntl)
     tile_asc = ((lt * T) & k) == 0
-    asc = jnp.full((1, 1, 1), True) == tile_asc
     x = x_ref[:, :]
     j = T // 2
     while j >= 1:
-        x = _cmpex(x, j, asc)
+        x = _cmpex(x, j, 0, tile_asc)
         j //= 2
     o_ref[:, :] = x
 
