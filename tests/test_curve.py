@@ -190,3 +190,31 @@ def test_subgroup_and_cofactor(rng, ck, grp):
     # cofactor-cleared points land in the subgroup (G1 cofactor may be 1)
     C = ops.clear_cofactor(A)
     assert all(np.asarray(ops.is_in_subgroup(C)))
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_point_compression_roundtrip(rng, ck, grp):
+    """compress -> decompress is the identity on valid points (incl.
+    infinity), valid=True; a corrupted x decompresses with valid=False
+    or to a different point.  Capability extension over the reference
+    (its C has no compression or sqrt)."""
+    og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+    enc = ck.encode_g1 if grp == "g1" else ck.encode_g2
+    comp = ck.compress_g1 if grp == "g1" else ck.compress_g2
+    dec = ck.decompress_g1 if grp == "g1" else ck.decompress_g2
+    decode = ck.decode_g1 if grp == "g1" else ck.decode_g2
+    n = 6
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[2] = None
+    A = enc(pts)
+    x, flags = comp(A)
+    B, valid = dec(x, flags)
+    assert np.asarray(valid).all()
+    assert decode(B) == pts
+    # corrupt one x: x+1 is (whp) either off-curve or a different point
+    f = ck.tower.fp
+    xbad = f.add(x, jnp.broadcast_to(f.one(()).reshape((f.L,) + (1,) * (x.ndim - 1)), x.shape))
+    B2, valid2 = dec(xbad, flags)
+    got2 = decode(B2)
+    bad0 = (not bool(np.asarray(valid2)[0])) or got2[0] != pts[0]
+    assert bad0

@@ -23,7 +23,7 @@ from .ops.gfft import GroupFFT, get_group_fft
 from .ops.msm import CurveMSM
 from .ops.ntt import NTTDomain, get_domain
 from .ops.pairing import PairingKernels, get_pairing
-from .ops.poly import PolyOps
+from .ops.poly import get_poly_ops
 from .ops.tower import TowerKernels, get_tower
 
 
@@ -41,7 +41,7 @@ class CurveAPI:
         self.fp12 = self.tower.fp12
         self.g1 = self.curves.g1
         self.g2 = self.curves.g2
-        self.poly = PolyOps(self.fr)
+        self.poly = get_poly_ops(self.fr)
 
     # heavier kernels, lazily constructed
     @property
@@ -76,6 +76,20 @@ class CurveAPI:
 
     def decode_g2(self, aff):
         return self.curves.decode_g2(aff)
+
+    # compressed interchange (batched device sqrt; extension over the
+    # reference, whose C has neither sqrt nor compression)
+    def compress_g1(self, aff):
+        return self.curves.compress_g1(aff)
+
+    def decompress_g1(self, x, flags):
+        return self.curves.decompress_g1(x, flags)
+
+    def compress_g2(self, aff):
+        return self.curves.compress_g2(aff)
+
+    def decompress_g2(self, x, flags):
+        return self.curves.decompress_g2(x, flags)
 
     def __repr__(self):
         return f"CurveAPI({self.params.name})"

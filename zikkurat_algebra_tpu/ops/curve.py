@@ -422,6 +422,69 @@ class CurveKernels:
             self._msm[grp] = CurveMSM(ops, self.fr)
         return self._msm[grp]
 
+    # -- compressed interchange (capability extension: the reference's C
+    #    has no point compression or sqrt; the device sqrt enables both
+    #    batched on TPU) ----------------------------------------------------
+    @staticmethod
+    def _parity(f, y) -> jax.Array:
+        """Parity bit of the canonical STANDARD-rep value (the sign
+        convention of the compressed format)."""
+        std = f.norm_std(f.from_mont(y))
+        return (std[0] & 1).astype(jnp.int32)
+
+    def _parity_fp2(self, y) -> jax.Array:
+        """Fp2 sign bit: parity of c0, or of c1 when c0 = 0 (so that
+        negation always flips it for y != 0)."""
+        f = self.tower.fp
+        p0 = self._parity(f, y[:, 0])
+        p1 = self._parity(f, y[:, 1])
+        return jnp.where(f.is_zero(y[:, 0]), p1, p0)
+
+    def compress_g1(self, A: AffBatch):
+        """Affine batch -> (canonical Montgomery x limbs, flags int32:
+        bit0 = parity of standard-rep y, bit1 = infinity)."""
+        f = self.tower.fp
+        x, y, inf = A
+        flags = self._parity(f, y) | (inf.astype(jnp.int32) << 1)
+        return jnp.where(inf, 0, f.norm(x)), flags
+
+    def decompress_g1(self, x: jax.Array, flags: jax.Array):
+        """Inverse of compress_g1: batched device sqrt of x^3 + b and a
+        parity-select.  Returns (AffBatch, valid) — valid is False where
+        x is not on the curve (x^3 + b a non-residue)."""
+        f = self.tower.fp
+        par = flags & 1
+        inf = (flags & 2) == 2
+        b = jnp.broadcast_to(
+            f.encode(self.curve.b).reshape((f.L,) + (1,) * (x.ndim - 1)),
+            x.shape,
+        )
+        root, ok = f.sqrt(f.add(f.mul(f.sqr(x), x), b))
+        y = f.select(self._parity(f, root) == par, root, f.neg(root))
+        return (x, y, inf), jnp.logical_or(ok, inf)
+
+    def compress_g2(self, A: AffBatch):
+        """G2 analog of compress_g1 (sign = the Fp2 parity convention)."""
+        x, y, inf = A
+        flags = self._parity_fp2(y) | (inf.astype(jnp.int32) << 1)
+        return jnp.where(inf, 0, self.tower.fp.norm(x)), flags
+
+    def decompress_g2(self, x: jax.Array, flags: jax.Array):
+        """Batched Fp2 sqrt of x^3 + b' (tower.fp2_sqrt) + parity-select."""
+        t = self.tower
+        f2 = t.fp2
+        par = flags & 1
+        inf = (flags & 2) == 2
+        b2 = self.oracle_g2.b
+        bb = t.encode_fp2_const((b2[0], b2[1]))
+        b = jnp.broadcast_to(
+            bb.reshape(bb.shape[:2] + (1,) * (x.ndim - 2)), x.shape
+        )
+        root, ok = t.fp2_sqrt(f2.add(f2.mul(f2.sqr(x), x), b))
+        keep = self._parity_fp2(root) == par
+        y = f2.select(keep, root, f2.neg(root))
+        return (x, y, inf), jnp.logical_or(ok, inf)
+
     # -- host encode/decode --------------------------------------------------
     def encode_g1(self, pts: Sequence) -> AffBatch:
         fp = self.tower.fp

@@ -262,3 +262,18 @@ class PolyOps:
         q, r = self.div_by_vanishing(a, n, eta)
         ok = jnp.all(self.f.is_zero(r), axis=-1)
         return q, ok
+
+
+_POLY_CACHE: dict = {}
+
+
+def get_poly_ops(field: Field) -> PolyOps:
+    """Cached PolyOps per field.  jit_method caches per INSTANCE, so a
+    fresh PolyOps per call retraces and recompiles every kernel — the
+    KZG opening measured 2.8 s/call from exactly that (the actual
+    compute is ~75 ms)."""
+    po = _POLY_CACHE.get(field.params.name)
+    if po is None:
+        po = PolyOps(field)
+        _POLY_CACHE[field.params.name] = po
+    return po

@@ -285,6 +285,37 @@ class TowerKernels:
         gs = self.oracle.fp12._gammas()
         self._gammas_dev = [self.encode_fp2_const(g) for g in gs]
 
+    @jit_method
+    def fp2_sqrt(self, a):
+        """Branch-free Fp2 square root by the complex method over
+        u^2 = -1 (device analog of the oracle's oracle/ext.py:91-108;
+        the reference's C has no extension-field sqrt at all).
+
+        sqrt(a0 + a1 u): with s = sqrt(a0^2 + a1^2), the root is
+        t + (a1 / 2t) u for t = sqrt((a0 +- s)/2); the a1 = 0 branch
+        (root in Fp, or sqrt(-a0) u) is folded in with selects.
+        Returns (root, is_square) where is_square is verified by one
+        squaring — constant work, no data-dependent control flow."""
+        f = self.fp
+        a0, a1 = a[:, 0], a[:, 1]
+        n = f.add(f.sqr(a0), f.sqr(a1))
+        s, _ = f.sqrt(n)
+        t1, ok1 = f.sqrt(f.div2(f.add(a0, s)))
+        t2, _ = f.sqrt(f.div2(f.sub(a0, s)))
+        t = f.select(ok1, t1, t2)
+        # guard the 1/(2t) against t = 0 (a = 0 or non-residue): inv(0)
+        # is well-defined garbage, and the final squaring check rejects
+        x1 = f.mul(a1, f.inv(f.add(t, t)))
+        z1 = f.is_zero(a1)
+        r0, okr0 = f.sqrt(a0)
+        rn, _ = f.sqrt(f.neg(a0))
+        zero = jnp.zeros_like(a0)
+        c0 = f.select(z1, f.select(okr0, r0, zero), t)
+        c1 = f.select(z1, f.select(okr0, zero, rn), x1)
+        root = jnp.stack([c0, c1], 1)
+        ok = self.fp2.eq(self.fp2.sqr(root), a)
+        return root, ok
+
     # -- per-level tower Frobenius (device analog of the reference's
     #    Fp2/Fp6 `frobenius` surface, bls12_381_Fp2_mont.c:253-283 and
     #    bls12_381_Fp6_mont.h:9-10) ----------------------------------------

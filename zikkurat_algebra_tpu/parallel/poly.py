@@ -35,7 +35,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..ops.field import Field
 from ..ops import vector as V
-from ..ops.poly import PolyOps
+from ..ops.poly import get_poly_ops
 from .mesh import DATA_AXIS
 from .ntt import ShardedNTT
 
@@ -61,7 +61,7 @@ class ShardedPolyOps:
                 f"poly size 2^{log2_size} not divisible over "
                 f"{self.ndev} devices"
             )
-        self.local = PolyOps(field)
+        self.local = get_poly_ops(field)
         self._sntt = None
 
     @property

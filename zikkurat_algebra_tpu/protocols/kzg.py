@@ -21,7 +21,7 @@ from ..ops.curve import get_curves, AffBatch, Point
 from ..ops.gfft import get_group_fft
 from ..ops.msm import CurveMSM
 from ..ops.pairing import get_pairing
-from ..ops.poly import PolyOps
+from ..ops.poly import get_poly_ops
 
 U32 = jnp.uint32
 
@@ -121,7 +121,7 @@ def opening_proof(setup: KZGSetup, coeffs_mont: jax.Array, x0: jax.Array
     x0: (L,) Montgomery field element."""
     ck = get_curves(setup.curve)
     fr = ck.fr
-    po = PolyOps(fr)
+    po = get_poly_ops(fr)
     y0 = po.eval_at(x0, coeffs_mont)                 # (L,)
     shifted = coeffs_mont.at[..., 0].set(fr.sub(coeffs_mont[..., 0], y0))
     quot, ok = po.quot_by_vanishing(shifted, 1, x0)
