@@ -87,7 +87,8 @@ def test_ntt_via_pallas_path():
     f.use_pallas, f.pallas_tile, f.pallas_interpret = True, TILE, True
     try:
         got = dom._ntt_impl.__wrapped__(
-            dom, x, tuple(dom._fwd), jnp.asarray(dom._perm)
+            dom, x, tuple(dom._fwd),
+            tuple(jnp.asarray(r) for r in dom._rev_halves),
         )
     finally:
         f.use_pallas, f.pallas_tile, f.pallas_interpret = old
