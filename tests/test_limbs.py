@@ -88,3 +88,28 @@ def test_predicates(rng):
     bv = [0, 1, 3, 5, 1, 7]
     b = jnp.asarray(ints_to_limbs(bv, L))
     assert list(np.asarray(lb.eq(a, b))) == [x == y for x, y in zip(av, bv)]
+
+
+def test_pack32_unpack32_bitexact(rng):
+    """Dense radix-2^32 sort-payload packing (limbs15.pack32/unpack32)
+    must be an exact bit concatenation of the canonical 15-bit limbs,
+    for several field widths including non-multiples of 32."""
+    from zikkurat_algebra_tpu.ops.limbs15 import pack32, unpack32
+
+    for nbits in (31, 45, 64, 254, 255, 381):
+        p_hi = 1 << nbits
+        L = -(-nbits // 15) + 2            # field layout incl. headroom
+        vals = [rng.randrange(p_hi) for _ in range(9)] + [0, p_hi - 1]
+        x = np.zeros((L, len(vals)), np.int32)
+        for j, v in enumerate(vals):
+            for l in range(L):
+                x[l, j] = (v >> (15 * l)) & 0x7FFF
+        xj = jnp.asarray(x)
+        r = pack32(xj, nbits)
+        assert r.shape[0] == -(-nbits // 32)
+        rn = np.asarray(r).astype(np.uint32)
+        for j, v in enumerate(vals):
+            got = sum(int(rn[w, j]) << (32 * w) for w in range(r.shape[0]))
+            assert got == v
+        u = unpack32(r, L)
+        assert np.array_equal(np.asarray(u), x)

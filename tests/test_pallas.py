@@ -97,18 +97,13 @@ def test_ntt_via_pallas_path():
     assert list(f.decode(got)) == ys
 
 
-def _pack15(planes):
-    """(L, m, B) canonical limb planes -> (m, Lp, B) packed sort-payload
-    rows (two 15-bit limbs per int32) — the layout ops/msm.py ships to
-    the bucket kernel."""
-    L = planes.shape[0]
-    if L % 2:
-        planes = jnp.concatenate(
-            [planes, jnp.zeros((1,) + planes.shape[1:], planes.dtype)], 0
-        )
-    half = planes.shape[0] // 2
-    packed = planes[:half] | (planes[half:] << 15)
-    return jnp.moveaxis(packed, 1, 0)  # (m, Lp, B)
+def _pack15(planes, nbits):
+    """(L, m, B) canonical limb planes -> (m, W, B) packed sort-payload
+    rows (dense radix-2^32, limbs15.pack32) — the layout ops/msm.py
+    ships to the bucket kernel."""
+    from zikkurat_algebra_tpu.ops.limbs15 import pack32
+
+    return jnp.moveaxis(pack32(planes, nbits), 1, 0)  # (m, W, B)
 
 
 @pytest.mark.parametrize("unroll", [1, 4])
@@ -130,8 +125,8 @@ def test_block_madd_scan_bitexact(unroll):
     r = random.Random(3)
     xs = f.encode([r.randrange(f.p) for _ in range(m * B)]).reshape(f.L, m, B)
     ys = f.encode([r.randrange(f.p) for _ in range(m * B)]).reshape(f.L, m, B)
-    px = _pack15(f.norm(xs))
-    py = _pack15(f.norm(ys))
+    px = _pack15(f.norm(xs), f.p.bit_length())
+    py = _pack15(f.norm(ys), f.p.bit_length())
     np_r = np.random.default_rng(5)
     sg = np_r.integers(0, 2, (m, B)).astype(bool)
     inf = np_r.integers(0, 5, (m, B)) == 0

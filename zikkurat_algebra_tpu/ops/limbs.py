@@ -160,8 +160,15 @@ def mul_full(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def sqr_full(a: jax.Array) -> jax.Array:
-    """Full square (La -> 2*La limbs)."""
-    # TODO: exploit symmetry (half the partial products); schoolbook for now.
+    """Full square (La -> 2*La limbs).
+
+    The reference's squaring exploits symmetry to halve the partial
+    products (bigint256.c sqr, scalar code).  That trick does NOT pay in
+    this batch-vector model: every scan step is an La-wide VECTOR
+    multiply whatever subset of products is mathematically needed (XLA
+    requires static shapes, so the triangle cannot shrink the per-step
+    width), and masking it would only add select traffic.  Schoolbook is
+    the vector-optimal form here."""
     return mul_full(a, a)
 
 

@@ -193,6 +193,52 @@ def full_carry(x: jax.Array) -> jax.Array:
     return y
 
 
+def pack32(x: jax.Array, nbits: int) -> jax.Array:
+    """CANONICAL nonneg 15-bit limb planes (L, *batch) -> dense radix-2^32
+    rows (W, *batch) int32, W = ceil(nbits/32): exact bit concatenation.
+    Used to shrink sort-network payloads (the MSM sort moves every
+    coordinate row through ~log^2 n compare-exchange passes, so row count
+    is directly proportional to the dominant MSM cost).  Rows may be
+    negative as int32 (bit 31 set) — they are opaque payload bits."""
+    L = x.shape[0]
+    W = -(-nbits // 32)
+    rows = []
+    for w in range(W):
+        lo_bit = 32 * w
+        acc = None
+        a0 = lo_bit // LB
+        a1 = min((lo_bit + 31) // LB, L - 1)
+        for a in range(a0, a1 + 1):
+            s = LB * a - lo_bit            # limb a lands at bit s (may be <0)
+            term = (x[a] << s) if s >= 0 else (x[a] >> (-s))
+            acc = term if acc is None else (acc | term)
+        rows.append(acc if acc is not None else jnp.zeros_like(x[0]))
+    return jnp.stack(rows)
+
+
+def unpack32(rows: jax.Array, L: int) -> jax.Array:
+    """Inverse of pack32: (W, *batch) dense rows -> (L, *batch) canonical
+    15-bit limb planes.  int32-only ops (arithmetic shifts + masks), so it
+    lowers inside Pallas/Mosaic kernels too."""
+    W = rows.shape[0]
+    out = []
+    for l in range(L):
+        bitpos = LB * l
+        w0 = bitpos >> 5
+        if w0 >= W:
+            out.append(jnp.zeros_like(rows[0:1]))
+            continue
+        s = bitpos & 31
+        v = rows[w0:w0 + 1] >> s           # arithmetic: sign bits masked below
+        rem = 32 - s
+        if rem < LB:
+            v = v & ((1 << rem) - 1)
+            if w0 + 1 < W:
+                v = v | (rows[w0 + 1:w0 + 2] << rem)
+        out.append(v & MASK)
+    return jnp.concatenate(out, 0)
+
+
 def cond_sub(x: jax.Array, m: jax.Array) -> jax.Array:
     """x - m if x >= m else x, for FULLY NORMALIZED nonneg x < 2m.
     One borrow scan + select."""

@@ -406,21 +406,25 @@ class MSM:
             n = n + padn
 
         # canonicalize the AFFINE coords (inputs may be lazy-band, e.g.
-        # straight from to_affine), then pack two 15-bit limbs per int32
-        # payload row — only x and y ride the sort network (the third
+        # straight from to_affine), then pack into DENSE radix-2^32 rows
+        # (limbs15.pack32): only x and y ride the sort network (the third
         # projective coordinate is reconstructed from the inf flag after
-        # sorting, cutting sort payload traffic by a third)
+        # sorting), at ceil(bits/32) int32 rows per base-field coordinate
+        # instead of ceil(L/2) two-limbs-per-word rows (BLS12-381 G1:
+        # 12 vs 14 rows/coord) — sort cost is proportional to payload rows
+        from .limbs15 import pack32
+
         A = (ops.f.norm(ax), ops.f.norm(ay))
         coord_shapes = [p.shape for p in A]
+        fb = ops.f
+        while hasattr(fb, "base"):
+            fb = fb.base
+        cbits = fb.p.bit_length()
+        W32 = -(-cbits // 32)
         packed_rows = []
         for p in A:
-            flatp = p.reshape(-1, n)
-            if flatp.shape[0] % 2:
-                flatp = jnp.concatenate(
-                    [flatp, jnp.zeros((1, n), flatp.dtype)], 0
-                )
-            half = flatp.shape[0] // 2
-            packed_rows.append(flatp[:half] | (flatp[half:] << 15))
+            pk = pack32(p, cbits)              # (W32,) + struct + (n,)
+            packed_rows.append(pk.reshape(-1, n))
         packed = jnp.concatenate(packed_rows, 0)            # (Rp, N)
         row_counts = [r.shape[0] for r in packed_rows]
         infi = ainf.astype(jnp.int32)
@@ -429,27 +433,39 @@ class MSM:
             # digit: (wc, N) SIGNED.  Sort points by |digit| per window
             # WITHOUT a gather: TPUs have no hardware gather (jnp.take
             # lowers to serial/one-hot code), so the packed coordinate
-            # planes ride the sort network as sort_key_val payload — the
-            # balanced-digit sign and the infinity mask share one extra
-            # payload row.
+            # planes ride the sort network as payload of ONE variadic
+            # lax.sort (num_keys=1: the comparator reads only the digit
+            # operand, every payload row moves under the same permutation)
+            # — the balanced-digit sign and the infinity mask share one
+            # extra payload row.
             ad = jnp.abs(digit)
             sg = (digit < 0).astype(jnp.int32)
-            flat = jnp.broadcast_to(
-                packed[:, None, :], (packed.shape[0], wc, n)
-            )
-            flat = jnp.concatenate([flat, (sg | (infi[None] << 1))[None]], 0)
+            flagrow = sg | (infi[None] << 1)                # (wc, n)
             if (getattr(ops.f, "use_pallas", False)
-                    and getattr(ops.f, "use_sort_kernel", True)
+                    and getattr(ops.f, "use_sort_kernel", False)
                     and n & (n - 1) == 0 and n >= 2048):
                 from .pallas_sort import sort_key_val_pallas
 
+                flat = jnp.concatenate([
+                    jnp.broadcast_to(
+                        packed[:, None, :], (packed.shape[0], wc, n)
+                    ),
+                    flagrow[None],
+                ], 0)
                 d_sorted, sorted_flat = sort_key_val_pallas(
                     ad, flat, interpret=ops.f.pallas_interpret
                 )
+                srows = [sorted_flat[i] for i in range(sorted_flat.shape[0])]
             else:
-                keys = jnp.broadcast_to(ad[None], flat.shape)
-                _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
-                d_sorted = lax.sort(ad, dimension=1)
+                operands = (
+                    [ad]
+                    + [jnp.broadcast_to(packed[i], (wc, n))
+                       for i in range(packed.shape[0])]
+                    + [flagrow]
+                )
+                out = lax.sort(operands, dimension=1, num_keys=1)
+                d_sorted = out[0]
+                srows = list(out[1:])
             use_kernel = (
                 block
                 and getattr(ops.f, "use_pallas", False)
@@ -460,26 +476,26 @@ class MSM:
             if use_kernel:
                 buckets = _buckets_pallas(
                     ops,
-                    sorted_flat[:row_counts[0]],
-                    sorted_flat[row_counts[0]:row_counts[0] + row_counts[1]],
-                    sorted_flat[-1],
+                    jnp.stack(srows[:row_counts[0]]),
+                    jnp.stack(
+                        srows[row_counts[0]:row_counts[0] + row_counts[1]]
+                    ),
+                    srows[-1],
                     d_sorted, block, nbuckets,
                 )
                 buckets = tuple(b[..., 1:nbuckets] for b in buckets)
                 return None, _weighted_bucket_sum(ops, buckets)
-            sg_sorted = (sorted_flat[-1] & 1) == 1          # (wc, n)
-            inf_sorted = (sorted_flat[-1] & 2) == 2         # (wc, n)
+            sg_sorted = (srows[-1] & 1) == 1                # (wc, n)
+            inf_sorted = (srows[-1] & 2) == 2               # (wc, n)
+            from .limbs15 import unpack32
+
             Ps = []
             off = 0
             for shp, rc in zip(coord_shapes, row_counts):
-                blk = sorted_flat[off:off + rc]             # (rc, wc, n)
-                lo = blk & 32767
-                hi = (blk >> 15) & 32767
-                full = jnp.concatenate([lo, hi], 0)
-                rows = 1
-                for s in shp[:-1]:
-                    rows *= s
-                Ps.append(full[:rows].reshape(shp[:-1] + (wc, n)))
+                blk = jnp.stack(srows[off:off + rc])        # (rc, wc, n)
+                comps = blk.reshape((W32, rc // W32, wc, n))
+                planes = unpack32(comps, shp[0])            # (L, S, wc, n)
+                Ps.append(planes.reshape(shp[:-1] + (wc, n)))
                 off += rc
             # negative digit => use -P (negate y)
             y = Ps[1]

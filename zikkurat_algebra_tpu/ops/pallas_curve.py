@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_field import _cios, _partial_carry
+from .limbs15 import unpack32
 
 I32 = jnp.int32
 
@@ -85,11 +86,9 @@ def _madd(L: int, pinv15: int, b3: int, acc, x2, y2, inf2, p):
 
 
 def _unpack(pk, L: int):
-    """(Lp, T) packed rows (two 15-bit limbs per int32) -> (L, T) limb
-    planes — mirror of the pack in ops/msm.py."""
-    lo = pk & 32767
-    hi = (pk >> 15) & 32767
-    return jnp.concatenate([lo, hi], 0)[:L]
+    """(W, T) dense radix-2^32 rows (limbs15.pack32, the sort-payload
+    format built in ops/msm.py) -> (L, T) canonical 15-bit limb planes."""
+    return unpack32(pk, L)
 
 
 def _block_scan_kernel(L: int, pinv15: int, b3: int, unroll: int,
@@ -183,8 +182,8 @@ def block_madd_scan(px: jax.Array, py: jax.Array, flg: jax.Array,
                     interpret: bool = False):
     """Masked running mixed-add scan.
 
-    px, py: (m, Lp, B) PACKED canonical affine limb rows (two limbs per
-    int32, the sort-payload format) in block-stream layout (axis 0 =
+    px, py: (m, W, B) PACKED canonical affine coordinate rows (dense
+    radix-2^32, the sort-payload format) in block-stream layout (axis 0 =
     position within block, axis 2 = block lanes); flg: (m, B) int32
     bitmask (SIGN_BIT | INF_BIT | NEW_BIT); one_np the Montgomery one.
     Returns projective running values (X, Y, Z), each (L, m, B): column
