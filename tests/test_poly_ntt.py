@@ -203,3 +203,24 @@ def test_ntt_roundtrip_vs_oracle(rng, fr, m):
     if isinstance(igot, int):
         igot = [igot]
     assert igot == iref
+
+
+@pytest.mark.parametrize("m", [2, 5, 8])
+def test_ntt_four_step_vs_oracle(rng, fr, m):
+    """The single-chip four-step decomposition (sublane-axis butterflies +
+    one transpose) must match both the oracle and the radix-2 lane path."""
+    from zikkurat_algebra_tpu.ops.ntt import NTTDomain
+
+    f, o = fr
+    n = 1 << m
+    dom = NTTDomain(f, m, four_step=True)
+    assert dom._four
+    av = [rng.randrange(o.p) for _ in range(n)]
+    a = f.encode(av)
+    assert f.decode(dom.ntt(a)) == oracle_ntt_fwd(o.p, dom.gen, av)
+    assert f.decode(dom.intt(a)) == oracle_ntt_inv(o.p, dom.gen, av)
+    # batch axis rides through both column transforms and the transpose
+    ab = jnp.stack([a, f.encode(av[::-1])], axis=1)
+    got_b = dom.ntt(ab)
+    assert f.decode(got_b[:, 0]) == oracle_ntt_fwd(o.p, dom.gen, av)
+    assert f.decode(got_b[:, 1]) == oracle_ntt_fwd(o.p, dom.gen, av[::-1])

@@ -65,7 +65,12 @@ class NTTDomain:
     lib/src/ZK/Algebra/Class/FFT.hs:27-68): generator of the 2^m subgroup
     derived by squaring down from the field's maximal FFT domain."""
 
-    def __init__(self, field: Field, log2_size: int):
+    #: minimum log2 size for the single-chip four-step decomposition
+    #: (override with ZIKKURAT_NTT_FOURSTEP: "0" disables, an int sets it)
+    FOUR_STEP_MIN = 16
+
+    def __init__(self, field: Field, log2_size: int,
+                 four_step: bool | None = None):
         self.field = field
         self.m = log2_size
         self.n = 1 << log2_size
@@ -76,16 +81,54 @@ class NTTDomain:
         self.n_inv = pow(self.n, -1, p)
         self._perm = bit_reverse_perm(self.m)      # kept for callers
         self._rev_halves = bit_reverse_halves(self.m)
-        # stage twiddles: stage s in 1..m uses w_s = gen^(2^(m-s)) of order
-        # 2^s; table_s = [w_s^j for j < 2^(s-1)] in Montgomery form.
+        self._fwd_tables = None
+        self._inv_tables = None
+        if four_step is None:
+            import os
+
+            env = os.environ.get("ZIKKURAT_NTT_FOURSTEP")
+            minm = self.FOUR_STEP_MIN if env is None else (
+                10**9 if env == "0" else int(env)
+            )
+            four_step = self.m >= max(2, minm)
+        self._four = bool(four_step) and self.m >= 2
         # ensure_compile_time_eval: domains are built LAZILY, sometimes
         # while another function's jit trace is active (e.g. get_domain
         # inside PolyOps.mul_ntt) — without it the tables would be traced
         # into that jaxpr and leak cached tracers into _DOMAIN_CACHE.
         with jax.ensure_compile_time_eval():
-            self._fwd = self._stage_tables(self.gen)
-            self._inv = self._stage_tables(self.gen_inv)
             self._ninv_mont = field.encode(self.n_inv)
+        if self._four:
+            # four-step split n = A*B (A = 2^(m - m//2) rows, B = 2^(m//2)
+            # columns): both butterfly passes run along the SUBLANE axis
+            # (axis -2), so no stage ever interleaves at lane granularity
+            self._mB = self.m // 2
+            self._mA = self.m - self._mB
+            self._A, self._B = 1 << self._mA, 1 << self._mB
+            # sub-domain stage tables: gen^B generates the 2^mA subgroup
+            # and gen^A the 2^mB one (both equal the subgroup_gen chain)
+            self._subA = get_domain(field, self._mA)
+            self._subB = get_domain(field, self._mB)
+            with jax.ensure_compile_time_eval():
+                self._W_fwd = self._twiddle_matrix(self.gen)
+                self._W_inv = self._twiddle_matrix(self.gen_inv)
+
+    # stage twiddles: stage s in 1..m uses w_s = gen^(2^(m-s)) of order
+    # 2^s; table_s = [w_s^j for j < 2^(s-1)] in Montgomery form.  Built
+    # lazily: four-step domains only need their SUB-domains' tables.
+    @property
+    def _fwd(self) -> List[jax.Array]:
+        if self._fwd_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._fwd_tables = self._stage_tables(self.gen)
+        return self._fwd_tables
+
+    @property
+    def _inv(self) -> List[jax.Array]:
+        if self._inv_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._inv_tables = self._stage_tables(self.gen_inv)
+        return self._inv_tables
 
     def _stage_tables(self, g: int) -> List[jax.Array]:
         """Stage-s twiddles are g^(j * 2^(m-s)) — strided subsamples of ONE
@@ -122,6 +165,98 @@ class NTTDomain:
             stride = 1 << (self.m - s)
             tables.append(full[:, ::stride][:, :half])
         return tables
+
+    def _twiddle_matrix(self, g: int) -> jax.Array:
+        """Four-step inter-pass twiddles W[k1, j2] = g^(k1*j2) in
+        Montgomery form, (L, A, B): one B-length power ladder of g, then
+        a prefix product down the rows (row k1 = row_{k1-1} * ladder).
+        One-time per domain; forced off the Pallas kernel like the stage
+        tables (per-level scan shapes would compile one Mosaic kernel
+        each)."""
+        from jax import lax
+        from .vector import powers
+
+        f = self.field
+        A, B = self._A, self._B
+        old = f.use_pallas
+        f.use_pallas = False
+        try:
+            u = jax.jit(lambda one, ge: powers(f, one, ge, B))(
+                f.one(()), f.encode(g)
+            )                                               # (L, B)
+            one_row = jnp.broadcast_to(f.one(())[:, None, None],
+                                       (f.L, 1, B))
+            rest = jnp.broadcast_to(u[:, None, :], (f.L, A - 1, B))
+            elems = jnp.concatenate([one_row, rest], 1)     # (L, A, B)
+            W = jax.jit(
+                lambda e: lax.associative_scan(
+                    lambda x, y: f.mul(x, y), e, axis=1
+                )
+            )(elems)
+        finally:
+            f.use_pallas = old
+        return W
+
+    def _col_transform(self, x: jax.Array, tables: List[jax.Array],
+                       rev: jax.Array, msub: int) -> jax.Array:
+        """DIT radix-2 NTT along axis -2 of (L, *batch, S, lanes): the
+        butterfly partner always lives in a different SUBLANE row, so no
+        stage pays a lane-granularity interleave relayout (the lane-axis
+        formulation's cost at half < 128)."""
+        f = self.field
+        L = x.shape[0]
+        S = 1 << msub
+        lanes = x.shape[-1]
+        lead = x.shape[1:-2]
+        nb = len(lead)
+        x = jnp.take(x, rev, axis=-2)
+        for s in range(1, msub + 1):
+            half = 1 << (s - 1)
+            nblocks = S >> s
+            xb = x.reshape((L,) + lead + (nblocks, 2, half, lanes))
+            u = xb[..., 0, :, :]
+            v = xb[..., 1, :, :]
+            tw = jnp.broadcast_to(
+                tables[s - 1].reshape((L,) + (1,) * nb + (1, half, 1)),
+                v.shape,
+            )
+            t = f.mul(v, tw)
+            hi = f.add(u, t)
+            lo = f.sub(u, t)
+            x = jnp.concatenate(
+                [hi[..., None, :, :], lo[..., None, :, :]], axis=-3
+            ).reshape((L,) + lead + (S, lanes))
+        return x
+
+    def _four_transform(self, x: jax.Array, tA, tB, W: jax.Array,
+                        revA: jax.Array, revB: jax.Array) -> jax.Array:
+        """Single-chip four-step NTT (Bailey): with j = j1*B + j2 and
+        k = k2*A + k1,
+            X[k2*A + k1] = sum_j2 (gen^A)^(j2*k2) * gen^(k1*j2)
+                           * sum_j1 x[j1*B + j2] (gen^B)^(j1*k1)
+        = column transforms (length A) -> W twiddles -> transpose ->
+        column transforms (length B); the final (B, A) layout IS the
+        output order, so exactly one transpose total."""
+        f = self.field
+        L, n = x.shape[0], self.n
+        if x.shape[-1] != n:
+            from ..errors import DomainSizeError
+
+            raise DomainSizeError(
+                f"domain size {n} != array size {x.shape[-1]} "
+                f"(cf. Class/FFT.hs:61-63)"
+            )
+        lead = x.shape[1:-1]
+        nb = len(lead)
+        X = x.reshape((L,) + lead + (self._A, self._B))
+        X = self._col_transform(X, tA, revA, self._mA)
+        Wb = jnp.broadcast_to(
+            W.reshape((L,) + (1,) * nb + (self._A, self._B)), X.shape
+        )
+        X = f.mul(X, Wb)
+        X = jnp.swapaxes(X, -1, -2)
+        X = self._col_transform(X, tB, revB, self._mB)
+        return X.reshape((L,) + lead + (n,))
 
     # -- transforms --------------------------------------------------------
     def _transform(self, x: jax.Array, tables: List[jax.Array],
@@ -191,14 +326,40 @@ class NTTDomain:
         ninv = ninv.reshape((f.L,) + (1,) * (y.ndim - 1))
         return f.mul(y, jnp.broadcast_to(ninv, y.shape))
 
+    @jit_method
+    def _ntt4_impl(self, x, tA, tB, W, revA, revB):
+        return self._four_transform(x, list(tA), list(tB), W, revA, revB)
+
+    @jit_method
+    def _intt4_impl(self, x, tA, tB, W, revA, revB, ninv):
+        y = self._four_transform(x, list(tA), list(tB), W, revA, revB)
+        f = self.field
+        ninv = ninv.reshape((f.L,) + (1,) * (y.ndim - 1))
+        return f.mul(y, jnp.broadcast_to(ninv, y.shape))
+
+    def _four_args(self, inverse: bool):
+        sub_t = (self._subA._inv, self._subB._inv) if inverse else (
+            self._subA._fwd, self._subB._fwd
+        )
+        W = self._W_inv if inverse else self._W_fwd
+        revA = jnp.asarray(self._subA._perm)
+        revB = jnp.asarray(self._subB._perm)
+        return tuple(sub_t[0]), tuple(sub_t[1]), W, revA, revB
+
     def ntt(self, x: jax.Array) -> jax.Array:
         """Forward NTT of Montgomery-form coefficients (L, *batch, n)."""
+        if self._four:
+            return self._ntt4_impl(x, *self._four_args(False))
         rh = tuple(jnp.asarray(r) for r in self._rev_halves)
         return self._ntt_impl(x, tuple(self._fwd), rh)
 
     def intt(self, x: jax.Array) -> jax.Array:
         """Inverse NTT (includes division by N, cf. ntt_inverse
         bn128_poly_mont.c:472-522)."""
+        if self._four:
+            return self._intt4_impl(
+                x, *self._four_args(True), self._ninv_mont
+            )
         rh = tuple(jnp.asarray(r) for r in self._rev_halves)
         return self._intt_impl(
             x, tuple(self._inv), rh, self._ninv_mont
