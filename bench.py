@@ -15,10 +15,75 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_DATA = os.path.join(REPO, "bench_data")
+
+
+def _tpu_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the (tunneled) TPU backend from a THROWAWAY subprocess with a
+    hard deadline.  A wedged tunnel hangs any client at first device
+    contact for ~2h (CLAUDE.md hazard); probing in-process would hang the
+    whole bench run past the driver's timeout and record NOTHING.  If the
+    probe fails, the caller falls back to a CPU smoke metric — a labeled
+    fallback number beats an rc=124 blank."""
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.ones((8,128),jnp.int32).sum())"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def _baseline_cache(key: str, measure, remeasure: bool = False):
+    """points/s (or ops/s) CPU baseline, from the committed cache file
+    bench_data/baselines.json unless absent or remeasure is set.  The
+    cached values ARE measured on this host (scripts/measure_tpu.sh runs
+    with remeasure) — caching just keeps the reference-C rebuild+timing
+    (~1-2 min) out of the driver's timed window."""
+    path = os.path.join(BENCH_DATA, "baselines.json")
+    cache = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                cache = json.load(fh)
+        except Exception:
+            cache = {}
+    if not remeasure and key in cache:
+        print(f"# baseline[{key}] = {cache[key]['pps']:.1f}/s (cached: "
+              f"{cache[key]['how']})", file=sys.stderr)
+        return cache[key]["pps"]
+    got = measure()
+    if got is not None:
+        pps, how = got
+        cache[key] = {"pps": pps, "how": how}
+        try:
+            os.makedirs(BENCH_DATA, exist_ok=True)
+            with open(path, "w") as fh:
+                json.dump(cache, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        return pps
+    return None
+
+
+def _emit(out: dict):
+    """Print THE one JSON metric line (suffix marks degraded fallbacks)."""
+    sfx = os.environ.get("ZIKKURAT_METRIC_SUFFIX", "")
+    if sfx:
+        out = dict(out, metric=out["metric"] + sfx)
+    print(json.dumps(out))
 
 
 def main():
@@ -41,8 +106,20 @@ def main():
                     choices=["msm", "ntt", "fieldmul", "kzg", "pairing",
                              "scaling"],
                     help="which BASELINE workload to time")
+    ap.add_argument("--remeasure-baseline", action="store_true",
+                    help="re-measure the CPU baseline instead of using "
+                         "the committed bench_data/baselines.json cache")
     args = ap.parse_args()
 
+    if not (args.cpu or args.smoke or os.environ.get("ZIKKURAT_NO_PROBE")):
+        if not _tpu_alive():
+            # tunneled TPU unreachable/wedged: fall back to a small CPU
+            # run so the driver still records a parseable (labeled) line
+            print("# TPU probe FAILED — falling back to CPU smoke metric",
+                  file=sys.stderr)
+            os.environ["ZIKKURAT_METRIC_SUFFIX"] = "_cpu_fallback"
+            args.cpu = True
+            args.smoke = True
     if args.smoke:
         args.n = min(args.n, 10)
     if args.cpu or args.smoke:
@@ -108,42 +185,68 @@ def main():
     t0 = time.time()
     ks = rand_field_ints(n, fr.p)
     k_limbs = jnp.asarray(ints_to_limbs15(ks, fr.L))
-    seed_scalars = rand_field_ints(min(n, 1024), fr.p)
-    # build a base set of distinct points: s_i * G for 1024 seeds, tiled
-    G = gops.from_affine(encode_pts([og.gen] * len(seed_scalars)))
-    s_limbs = fr.encode(seed_scalars, mont=False)
-    seeds_proj = gops.scalar_mul_fr_std(s_limbs, G)
-    seeds_aff = gops.to_affine(seeds_proj)
-    reps = n // len(seed_scalars) if n >= len(seed_scalars) else 1
+    nseed = min(n, 1024)
+    # base set of distinct points: s_i * G for 1024 seeds, tiled.  The
+    # seeds are cached in a committed npz so the driver's timed run skips
+    # the device scalar-mul compile entirely (a cold-compile of that
+    # windowed-scl graph alone costs minutes).
+    seed_path = os.path.join(
+        BENCH_DATA, f"seeds_{args.curve}_{grp}.npz".replace("-", "_")
+    )
+    seeds_aff = None
+    if nseed == 1024 and os.path.exists(seed_path):
+        z = np.load(seed_path)
+        seeds_aff = (jnp.asarray(z["x"]), jnp.asarray(z["y"]),
+                     jnp.asarray(z["inf"]))
+    if seeds_aff is None:
+        seed_scalars = rand_field_ints(nseed, fr.p)
+        G = gops.from_affine(encode_pts([og.gen] * len(seed_scalars)))
+        s_limbs = fr.encode(seed_scalars, mont=False)
+        seeds_proj = gops.scalar_mul_fr_std(s_limbs, G)
+        seeds_aff = gops.to_affine(seeds_proj)
+        if nseed == 1024:
+            try:
+                os.makedirs(BENCH_DATA, exist_ok=True)
+                np.savez(seed_path, x=np.asarray(seeds_aff[0]),
+                         y=np.asarray(seeds_aff[1]),
+                         inf=np.asarray(seeds_aff[2]))
+            except OSError:
+                pass
+    reps = n // nseed if n >= nseed else 1
     pts = tuple(
         jnp.tile(c, (1,) * (c.ndim - 1) + (reps,))[..., :n] for c in seeds_aff[:2]
     ) + (jnp.tile(seeds_aff[2], reps)[:n],)
     jax.block_until_ready(pts)
     setup_s = time.time() - t0
 
-    if args.check:
-        m = 1 << args.check
-        want = og.msm(
-            ks[:m],
-            decode_pts(tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],)),
-        )
-        got_pt = msm.msm_std(
-            jnp.asarray(ints_to_limbs15(ks[:m], fr.L)),
-            tuple(cc[..., :m] for cc in pts[:2]) + (pts[2][:m],),
-        )
-        got = decode_pts(gops.to_affine(got_pt))
-        assert got == want, "MSM cross-check vs oracle FAILED"
-
     def fetch(r):
         # force completion with a HOST transfer: through the axon tunnel,
         # block_until_ready alone does not reliably block on execution
         return [np.asarray(x) for x in r]
 
-    # compile
+    # compile + correctness check in ONE pass: zeroing the scalars beyond
+    # the checked prefix keeps the MAIN problem shape (zero digits land in
+    # the dropped 0-bucket), so the oracle cross-check warms the exact
+    # compile the timed runs reuse — no second small-shape MSM compile.
     t0 = time.time()
-    res = msm.msm_std(k_limbs, pts, args.c, args.window_chunk, args.block)
-    fetch(res)
-    compile_and_first_s = time.time() - t0
+    if args.check:
+        m = 1 << min(args.check, args.n)
+        mask = (jnp.arange(n) < m).astype(k_limbs.dtype)
+        got_pt = msm.msm_std(k_limbs * mask[None], pts, args.c,
+                             args.window_chunk, args.block)
+        fetch(got_pt)
+        compile_and_first_s = time.time() - t0
+        want = og.msm(
+            ks[:m],
+            decode_pts(tuple(c[..., :m] for c in pts[:2]) + (pts[2][:m],)),
+        )
+        got = decode_pts(gops.to_affine(got_pt))
+        assert got == want, "MSM cross-check vs oracle FAILED"
+    else:
+        res = msm.msm_std(k_limbs, pts, args.c, args.window_chunk,
+                          args.block)
+        fetch(res)
+        compile_and_first_s = time.time() - t0
 
     # timed runs (vary the scalars per iter so no caching layer can elide
     # the work; rotation keeps the set of digits identical in aggregate)
@@ -165,7 +268,7 @@ def main():
         "unit": "points/s",
         "vs_baseline": round(pps / baseline_pps, 4) if baseline_pps else 0.0,
     }
-    print(json.dumps(out))
+    _emit(out)
     print(
         f"# n=2^{args.n} backend={jax.devices()[0].platform} "
         f"setup={setup_s:.1f}s first={compile_and_first_s:.1f}s "
@@ -238,7 +341,7 @@ def bench_scaling(args, jax):
         "unit": "efficiency",
         "vs_baseline": 0.0,
     }
-    print(json.dumps(out))
+    _emit(out)
     print(f"# t1={times[1]*1e3:.0f}ms t8={times[8]*1e3:.0f}ms "
           f"speedup={times[1]/times[8]:.2f}x backend=cpu(virtual)",
           file=sys.stderr)
@@ -279,7 +382,7 @@ def bench_ntt(args, jax):
         "unit": "s",
         "vs_baseline": 0.0,
     }
-    print(json.dumps(out))
+    _emit(out)
     print(f"# first={first:.1f}s per={per*1e3:.1f}ms backend={jax.devices()[0].platform}",
           file=sys.stderr)
 
@@ -330,7 +433,7 @@ def bench_kzg(args, jax):
         "unit": "s",
         "vs_baseline": 0.0,
     }
-    print(json.dumps(out))
+    _emit(out)
     print(f"# setup={setup_s:.1f}s commit={commit_s:.2f}s open={open_s:.2f}s "
           f"verify={verify_s:.2f}s backend={jax.devices()[0].platform}",
           file=sys.stderr)
@@ -379,23 +482,25 @@ def bench_pairing(args, jax):
     per = (time.time() - t0) / iters
     pps = b / per
 
-    baseline = None
-    try:
-        from zikkurat_algebra_tpu.utils.reference_ffi import (
-            time_reference_pairing,
-        )
-        baseline, _ = time_reference_pairing(args.curve)
-        print(f"# baseline = reference C pairing: {baseline:.1f} pairings/s",
-              file=sys.stderr)
-    except Exception:
-        pass
+    def measure():
+        try:
+            from zikkurat_algebra_tpu.utils.reference_ffi import (
+                time_reference_pairing,
+            )
+            bl, _ = time_reference_pairing(args.curve)
+            return bl, "reference C pairing (single-thread)"
+        except Exception:
+            return None
+
+    baseline = _baseline_cache(f"{args.curve}_pairing", measure,
+                               getattr(args, "remeasure_baseline", False))
     out = {
         "metric": f"{args.curve.lower().replace('-', '_')}_pairing_batch{b}_per_sec",
         "value": round(pps, 2),
         "unit": "pairings/s",
         "vs_baseline": round(pps / baseline, 4) if baseline else 0.0,
     }
-    print(json.dumps(out))
+    _emit(out)
     print(f"# batch={b} per_batch={per*1e3:.0f}ms backend={jax.devices()[0].platform}",
           file=sys.stderr)
 
@@ -454,57 +559,60 @@ def bench_fieldmul(args, jax):
         "unit": "muls/s",
         "vs_baseline": 0.0,
     }
-    print(json.dumps(out))
+    _emit(out)
     print(f"# batch=2^{args.n} chain K={K} per_mul={per*1e6:.0f}us "
           f"backend={jax.devices()[0].platform}", file=sys.stderr)
 
 
 def _cpp_baseline_pps(args):
-    """CPU baseline points/s: prefer the REFERENCE's own compiled C
-    (scripts/build_reference.sh), fall back to cpp/build/msm_bench.
-    G2 uses the cpp baseline directly (the reference FFI exposes G1 only)."""
-    if getattr(args, "group", "g1") != "g1":
-        import subprocess
-        exe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "cpp", "build", "msm_bench")
+    """CPU baseline points/s (cached in bench_data/baselines.json):
+    prefer the REFERENCE's own compiled C (scripts/build_reference.sh),
+    fall back to cpp/build/msm_bench.  G2 uses the cpp baseline directly
+    (the reference FFI exposes G1 only)."""
+    grp = getattr(args, "group", "g1")
+    key = f"{args.curve}_{grp}_msm_2e{args.n}"
+
+    def measure():
+        exe = os.path.join(REPO, "cpp", "build", "msm_bench")
+        if grp != "g1":
+            if not os.path.exists(exe):
+                return None
+            try:
+                out = subprocess.run(
+                    [exe, str(min(args.n, 16)), "--g2"],
+                    capture_output=True, text=True, timeout=1200,
+                )
+                pps = float(json.loads(
+                    out.stdout.strip().splitlines()[-1])["points_per_sec"])
+                return pps, "cpp G2 Jacobian (OpenMP)"
+            except Exception:
+                return None
+        if args.n <= 18:
+            try:
+                from zikkurat_algebra_tpu.utils.reference_ffi import (
+                    time_reference_msm,
+                )
+                pps, _ = time_reference_msm(args.curve, args.n)
+                return pps, "reference C (single-thread)"
+            except Exception:
+                pass
         if not os.path.exists(exe):
             return None
         try:
             out = subprocess.run(
-                [exe, str(min(args.n, 16)), "--g2"], capture_output=True,
-                text=True, timeout=1200,
+                [exe, str(args.n)], capture_output=True, text=True,
+                timeout=600,
             )
-            pps = float(json.loads(
-                out.stdout.strip().splitlines()[-1])["points_per_sec"])
-            print(f"# baseline = cpp G2 Jacobian (OpenMP): {pps:.0f} pts/s",
-                  file=sys.stderr)
-            return pps
+            return (
+                float(json.loads(
+                    out.stdout.strip().splitlines()[-1])["points_per_sec"]),
+                "cpp stand-in (OpenMP)",
+            )
         except Exception:
             return None
-    if args.n <= 18:
-        try:
-            from zikkurat_algebra_tpu.utils.reference_ffi import (
-                time_reference_msm,
-            )
-            pps, _ = time_reference_msm(args.curve, args.n)
-            print(f"# baseline = reference C (single-thread): {pps:.0f} pts/s",
-                  file=sys.stderr)
-            return pps
-        except Exception:
-            pass
-    import subprocess
-    exe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "cpp", "build", "msm_bench")
-    if not os.path.exists(exe):
-        return None
-    try:
-        out = subprocess.run(
-            [exe, str(args.n)], capture_output=True, text=True, timeout=600
-        )
-        print("# baseline = cpp stand-in (OpenMP)", file=sys.stderr)
-        return float(json.loads(out.stdout.strip().splitlines()[-1])["points_per_sec"])
-    except Exception:
-        return None
+
+    return _baseline_cache(key, measure,
+                           getattr(args, "remeasure_baseline", False))
 
 
 if __name__ == "__main__":

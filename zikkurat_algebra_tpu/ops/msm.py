@@ -380,11 +380,13 @@ class MSM:
         )                                                   # (W+1, N)
         W = digits.shape[0]
         if window_chunk is None:
-            # 8 windows align with TPU sublanes; cap so the gathered
-            # coordinate arrays (~3 * L * 2 * wc * n * 4B) + scan
-            # temporaries stay well under HBM (signed digits halved the
-            # bucket arrays, which bought wc=4 at 2^20: measured 156.8k
-            # vs 126.4k points/s at wc=2)
+            # 8 windows align with TPU sublanes (a (wc, n) plane is
+            # physically tiled in sublane units of 8, so wc<8 buys
+            # nothing); cap so the gathered coordinate arrays
+            # (~3 * L * 2 * wc * n * 4B) + scan temporaries stay well
+            # under HBM (signed digits halved the bucket arrays, which
+            # bought wc=4 at 2^20: measured 156.8k vs 126.4k points/s
+            # at wc=2)
             window_chunk = max(1, min(8, (1 << 22) // max(n, 1)))
         wc = min(window_chunk, W)
         nchunks = -(-W // wc)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.msm import CurveMSM, _tree_reduce
 from ..ops.curve import AffBatch, Point
@@ -44,7 +44,7 @@ def sharded_msm(msm: CurveMSM, mesh: Mesh, k_limbs: jax.Array,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def local(k, pts):
         r = msm.msm_std(k, pts, c)                       # local Pippenger

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.field import Field
 from ..ops.ntt import get_domain
@@ -118,7 +118,7 @@ class ShardedNTT:
             mesh=self.mesh,
             in_specs=(P(None, DATA_AXIS), P(None, None, DATA_AXIS)),
             out_specs=P(None, DATA_AXIS),
-            check_rep=False,
+            check_vma=False,
         )
         def run(xl, twl):
             A = xl.reshape(L, n1 // nd, n2)       # local rows

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.field import Field
 from ..ops import vector as V
@@ -102,7 +102,7 @@ class ShardedPolyOps:
         @partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(None), P(None, DATA_AXIS)), out_specs=P(None),
-            check_rep=False,
+            check_vma=False,
         )
         def run(xv, al):
             # x^chunk: chunk is a power of two -> log2(chunk) squarings
@@ -154,7 +154,7 @@ class ShardedPolyOps:
             shard_map, mesh=self.mesh,
             in_specs=(P(None, DATA_AXIS), P(None)),
             out_specs=(P(None, DATA_AXIS), P(None)),
-            check_rep=False,
+            check_vma=False,
         )
         def run(al, etav):
             B = al.reshape(L, kloc, n_van)         # local little-endian blocks

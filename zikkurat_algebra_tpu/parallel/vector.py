@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.field import Field
 from ..ops import vector as V
@@ -26,7 +26,7 @@ def sharded_sum(f: Field, mesh: Mesh, a: jax.Array) -> jax.Array:
     @partial(
         shard_map, mesh=mesh,
         in_specs=P(None, DATA_AXIS), out_specs=P(None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(al):
         local = V.sum_mod(f, al)            # (L,), normalized < p
@@ -43,7 +43,7 @@ def sharded_dot(f: Field, mesh: Mesh, a: jax.Array, b: jax.Array) -> jax.Array:
         shard_map, mesh=mesh,
         in_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
         out_specs=P(None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(al, bl):
         local = V.dot_prod(f, al, bl)
