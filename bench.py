@@ -78,6 +78,75 @@ def _baseline_cache(key: str, measure, remeasure: bool = False):
     return None
 
 
+def _run_with_deadline(args) -> int:
+    """Run the real TPU bench in a DETACHED child with a wall-clock
+    budget (ZIKKURAT_BENCH_BUDGET seconds, default 900).
+
+    A cold XLA compile of the big MSM graph through the remote axon
+    compile service can exceed the driver's own timeout (round 2's
+    recorded run died this way, rc=124, nothing recorded).  If the child
+    does not print its JSON metric line in time, the parent emits a
+    labeled CPU fallback metric and exits 0 — WITHOUT killing the child:
+    killing a TPU client mid-compile wedges the tunneled session for
+    ~2h (CLAUDE.md hazard), and the orphan finishing its compile warms
+    the persistent cache so the NEXT run is fast."""
+    import tempfile
+
+    budget = float(os.environ.get("ZIKKURAT_BENCH_BUDGET", "900"))
+    outf = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.out", delete=False
+    )
+    env = dict(os.environ, ZIKKURAT_BENCH_CHILD="1")
+    child = subprocess.Popen(
+        [sys.executable, "-u", os.path.join(REPO, "bench.py")]
+        + sys.argv[1:],
+        stdout=outf, stderr=sys.stderr, env=env,
+        start_new_session=True,
+    )
+    deadline = time.time() + budget
+    seen = 0
+    got_json = False
+    while time.time() < deadline:
+        rc = child.poll()
+        with open(outf.name) as fh:
+            data = fh.read()
+        lines = data.splitlines()
+        for ln in lines[seen:]:
+            print(ln)
+            if ln.lstrip().startswith("{"):
+                got_json = True
+        seen = len(lines)
+        if rc is not None:
+            if got_json and rc == 0:
+                return 0
+            break           # child died without a metric -> fallback
+        if got_json:
+            child.wait()
+            with open(outf.name) as fh:
+                for ln in fh.read().splitlines()[seen:]:
+                    print(ln)
+            return 0
+        time.sleep(2)
+    if child.poll() is None:
+        print(f"# bench child (pid {child.pid}) exceeded {budget:.0f}s "
+              "budget (cold compile?) — left running to warm the "
+              "compile cache; emitting CPU fallback metric",
+              file=sys.stderr)
+    else:
+        print(f"# bench child exited rc={child.returncode} without a "
+              "metric — emitting CPU fallback metric", file=sys.stderr)
+    fb_env = dict(os.environ, ZIKKURAT_BENCH_CHILD="1",
+                  ZIKKURAT_METRIC_SUFFIX="_cpu_fallback")
+    fb = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+         "--smoke", "--workload", args.workload],
+        env=fb_env, capture_output=True, text=True, timeout=1800,
+    )
+    sys.stdout.write(fb.stdout)
+    sys.stderr.write(fb.stderr)
+    return 0
+
+
 def _emit(out: dict):
     """Print THE one JSON metric line (suffix marks degraded fallbacks)."""
     sfx = os.environ.get("ZIKKURAT_METRIC_SUFFIX", "")
@@ -111,7 +180,8 @@ def main():
                          "the committed bench_data/baselines.json cache")
     args = ap.parse_args()
 
-    if not (args.cpu or args.smoke or os.environ.get("ZIKKURAT_NO_PROBE")):
+    if not (args.cpu or args.smoke or os.environ.get("ZIKKURAT_NO_PROBE")
+            or os.environ.get("ZIKKURAT_BENCH_CHILD")):
         if not _tpu_alive():
             # tunneled TPU unreachable/wedged: fall back to a small CPU
             # run so the driver still records a parseable (labeled) line
@@ -120,6 +190,8 @@ def main():
             os.environ["ZIKKURAT_METRIC_SUFFIX"] = "_cpu_fallback"
             args.cpu = True
             args.smoke = True
+        else:
+            return _run_with_deadline(args)
     if args.smoke:
         args.n = min(args.n, 10)
     if args.cpu or args.smoke:
@@ -148,6 +220,8 @@ def main():
         Field.use_msm_kernel = False
     if os.environ.get("ZIKKURAT_NTT_KERNEL"):
         Field.use_ntt_kernel = True
+    if os.environ.get("ZIKKURAT_SPLIT_SORT"):
+        Field.use_split_sort = True
 
     if args.workload == "scaling":
         return bench_scaling(args, jax)

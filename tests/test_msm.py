@@ -67,6 +67,34 @@ def test_msm_vs_oracle_g2(rng, ck):
     assert got == want
 
 
+def test_msm_split_sort_path(rng, ck):
+    """The experimental two-sort variadic path (Field.use_split_sort)
+    must agree with the default broadcast-key sort_key_val path and the
+    oracle: its correctness hinges on the composite (digit, lane) key
+    making the two sorts' permutations IDENTICAL so x/y rows stay
+    paired (ops/msm.py per_chunk)."""
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    f = ck.g1.f
+    n = 40
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[5] = None
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    ks[2] = 0
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    old = f.use_split_sort
+    try:
+        type(f).use_split_sort = True
+        # fresh jit cache key: different static arg (window chunk)
+        res = msm.msm_std(k_limbs, A, 5, 3)
+        got = ck.decode_g1(ck.g1.to_affine(res))
+    finally:
+        type(f).use_split_sort = old
+    assert got == want
+
+
 def test_msm_pallas_bucket_path(rng):
     """End-to-end msm_std through the fused Pallas bucket kernel
     (interpret mode) must equal the XLA scan path and the oracle — this

@@ -143,6 +143,12 @@ class Field:
     # consecutive compare-exchange passes.  Keep the built-in sort;
     # kernel retained behind this flag for future Mosaic work.
     use_sort_kernel = False
+    # EXPERIMENTAL two-sort variadic MSM sort (ops/msm.py per_chunk):
+    # less data movement than the default broadcast-key sort_key_val,
+    # but XLA:TPU's variadic sort compile cost/VMEM footprint scales
+    # badly with operand count (the single 27-operand form never
+    # finished compiling on hardware).  Enable via ZIKKURAT_SPLIT_SORT=1.
+    use_split_sort = False
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

@@ -102,6 +102,45 @@ def _tree_reduce(ops: ProjCurveOps, P: Point) -> Point:
     return tuple(p[..., 0] for p in P)
 
 
+def _scan_reduce(ops: ProjCurveOps, T: Point) -> Point:
+    """Sum points along the last axis with ONE lax.scan (serial steps on
+    small arrays).  Runtime ~= _tree_reduce for the small axes this is
+    used on, but the group-add formula is instantiated ONCE instead of
+    log2(n) times — XLA:TPU compile time of the MSM module is dominated
+    by the sheer number of while bodies, each a full RCB15 add."""
+    Ts = tuple(jnp.moveaxis(t, -1, 0) for t in T)
+
+    def body(acc, t):
+        return ops.add(acc, t), None
+
+    acc0 = ops.infinity(T[0].shape[ops.f.struct_ndim:-1])
+    out, _ = lax.scan(body, acc0, Ts)
+    return out
+
+
+def _scan_wsum(ops: ProjCurveOps, T: Point, from_one: bool) -> Point:
+    """sum_i w_i T_i with w = 1..n (from_one) or 0..n-1, as ONE lax.scan
+    over the reversed axis carrying (suffix, total):
+      suffix_k = sum_{i>=k} T_i;  total = sum_k suffix_k  counts T_i
+    exactly (i+1) times (w from 1); accumulating total BEFORE the suffix
+    update drops the full-sum head (w from 0)."""
+    Ts = tuple(jnp.flip(jnp.moveaxis(t, -1, 0), 0) for t in T)
+
+    def body(carry, t):
+        suf, tot = carry
+        if from_one:
+            suf = ops.add(suf, t)
+            tot = ops.add(tot, suf)
+        else:
+            tot = ops.add(tot, suf)
+            suf = ops.add(suf, t)
+        return (suf, tot), None
+
+    inf = ops.infinity(T[0].shape[ops.f.struct_ndim:-1])
+    (suf, tot), _ = lax.scan(body, (inf, inf), Ts)
+    return tot
+
+
 def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
     """sum_b (b+1) * S_b over the last axis (the Pippenger weighted
     bucket sum, digit = index+1) in ~2B group adds instead of the
@@ -111,14 +150,11 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
     Two-level decomposition: write b = hi*M + lo (M = 2^k ~ sqrt(B)).
       sum_b (b+1) S_b = M * sum_hi hi*R_hi + sum_lo (lo+1)*C_lo
     with row sums R_hi = sum_lo S and column sums C_lo = sum_hi S —
-    two tree reductions (~2B adds) plus two sqrt(B)-sized weighted sums
-    (suffix scan + tree) and k doublings."""
-    add = lambda A, B: ops.add(A, B)
-    axis = S[0].ndim - 1
+    two reductions (~2B adds) plus two sqrt(B)-sized weighted sums and
+    k doublings.  All reductions are single-scan (see _scan_reduce)."""
     B = S[0].shape[-1]
-    if B <= 512:
-        suffix = lax.associative_scan(add, S, axis=axis, reverse=True)
-        return _tree_reduce(ops, suffix)
+    if B <= 64:
+        return _scan_wsum(ops, S, from_one=True)
     k = (B - 1).bit_length() // 2
     M = 1 << k
     H = -(-B // M)
@@ -127,22 +163,15 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
         inf = ops.infinity(S[0].shape[ops.f.struct_ndim:-1] + (pad,))
         S = tuple(jnp.concatenate([s, i], -1) for s, i in zip(S, inf))
     G = tuple(s.reshape(s.shape[:-1] + (H, M)) for s in S)
-    R = _tree_reduce(ops, G)                       # (.., H): sum over lo
-    C = _tree_reduce(ops, tuple(jnp.swapaxes(g, -1, -2) for g in G))
+    R = _scan_reduce(ops, G)                       # (.., H): sum over lo
+    C = _scan_reduce(ops, tuple(jnp.swapaxes(g, -1, -2) for g in G))
+    Whi = _scan_wsum(ops, R, from_one=False)
+    Wlo = _scan_wsum(ops, C, from_one=True)
 
-    def wsum(T, from_one: bool) -> Point:
-        # sum_i w_i T_i, w = 1..n (from_one) or 0..n-1 (suffix trick:
-        # sum of suffix sums, dropping the full-sum head when w starts
-        # at 0)
-        suf = lax.associative_scan(add, T, axis=axis, reverse=True)
-        if not from_one:
-            suf = tuple(s[..., 1:] for s in suf)
-        return _tree_reduce(ops, suf)
+    def dbl_step(_, r):
+        return ops.dbl(r)
 
-    Whi = wsum(R, from_one=False)
-    Wlo = wsum(C, from_one=True)
-    for _ in range(k):
-        Whi = ops.dbl(Whi)
+    Whi = lax.fori_loop(0, k, dbl_step, Whi)
     return ops.add(Whi, Wlo)
 
 
@@ -458,16 +487,55 @@ class MSM:
                     ad, flat, interpret=ops.f.pallas_interpret
                 )
                 srows = [sorted_flat[i] for i in range(sorted_flat.shape[0])]
-            else:
-                operands = (
-                    [ad]
-                    + [jnp.broadcast_to(packed[i], (wc, n))
-                       for i in range(packed.shape[0])]
-                    + [flagrow]
+            elif getattr(ops.f, "use_split_sort", False):
+                # EXPERIMENTAL: two half-payload variadic sorts.  The
+                # single 27-operand variadic sort (one comparator, least
+                # data movement) is a COMPILER KILLER: XLA:TPU allocates
+                # scoped VMEM per sort operand and blows the 16M limit at
+                # (4, 2^20) x 27 rows ("Ran out of memory in memory space
+                # vmem ... sort"), and at 2^18 the compile ran >50 min
+                # until the remote compile service dropped the connection
+                # — twice.  Splitting halves the per-op footprint; the
+                # composite (digit, lane-index) key is UNIQUE, so both
+                # sorts apply the IDENTICAL permutation and x/y rows stay
+                # paired.  Off by default until its compile time and
+                # runtime are validated on hardware.
+                iota = jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[None], (wc, n)
                 )
-                out = lax.sort(operands, dimension=1, num_keys=1)
-                d_sorted = out[0]
-                srows = list(out[1:])
+                nx = row_counts[0]
+                out1 = lax.sort(
+                    [ad, iota]
+                    + [jnp.broadcast_to(packed[i], (wc, n))
+                       for i in range(nx)]
+                    + [flagrow],
+                    dimension=1, num_keys=2,
+                )
+                out2 = lax.sort(
+                    [ad, iota]
+                    + [jnp.broadcast_to(packed[i], (wc, n))
+                       for i in range(nx, packed.shape[0])],
+                    dimension=1, num_keys=2,
+                )
+                d_sorted = out1[0]
+                srows = list(out1[2:-1]) + list(out2[2:]) + [out1[-1]]
+            else:
+                # DEFAULT: two-operand sort_key_val with the key BROADCAST
+                # next to every payload row (one 3-D payload array).  This
+                # moves the key redundantly (2x traffic vs the variadic
+                # form) but is the formulation the TPU compiler handles
+                # well — measured 245k pts/s end-to-end at 2^18 in round 2,
+                # while the variadic form above never finished compiling.
+                flat = jnp.concatenate([
+                    jnp.broadcast_to(
+                        packed[:, None, :], (packed.shape[0], wc, n)
+                    ),
+                    flagrow[None],
+                ], 0)
+                keys = jnp.broadcast_to(ad[None], flat.shape)
+                _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
+                d_sorted = lax.sort(ad, dimension=1)
+                srows = [sorted_flat[i] for i in range(flat.shape[0])]
             use_kernel = (
                 block
                 and getattr(ops.f, "use_pallas", False)

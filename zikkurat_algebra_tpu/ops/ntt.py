@@ -66,8 +66,12 @@ class NTTDomain:
     derived by squaring down from the field's maximal FFT domain."""
 
     #: minimum log2 size for the single-chip four-step decomposition
-    #: (override with ZIKKURAT_NTT_FOURSTEP: "0" disables, an int sets it)
-    FOUR_STEP_MIN = 16
+    #: (override with ZIKKURAT_NTT_FOURSTEP: "0" disables, an int sets it).
+    #: Default OFF: measured END-TO-END (honest host-fetch) the four-step
+    #: path REGRESSED the radix-2 lane path on hardware (2^22: 1.314 s vs
+    #: 0.681 s; 2^20: 0.839 s vs 0.133 s) — the two full-array transposes
+    #: cost more than the lane-granularity butterflies they avoid.
+    FOUR_STEP_MIN = 10**9
 
     def __init__(self, field: Field, log2_size: int,
                  four_step: bool | None = None):
