@@ -222,6 +222,8 @@ def main():
         Field.use_ntt_kernel = True
     if os.environ.get("ZIKKURAT_SPLIT_SORT"):
         Field.use_split_sort = True
+    if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
+        Field.use_serial_wsum = False
 
     if args.workload == "scaling":
         return bench_scaling(args, jax)

@@ -24,3 +24,8 @@ class DomainSizeError(ZikkuratError):
 
 class MeshError(ZikkuratError):
     """Device-mesh shape unsupported by the sharded kernel."""
+
+
+class UnsupportedError(ZikkuratError):
+    """Operation not supported for this curve family (e.g. G2/pairing on
+    a fields+towers+G1-only family like BLS12-377)."""

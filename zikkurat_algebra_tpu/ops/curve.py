@@ -378,7 +378,7 @@ class CurveKernels:
         self.curve = curve
         self.tower = get_tower(curve)
         self.oracle_g1 = g1_group(curve)
-        self.oracle_g2 = g2_group(curve)
+        self.oracle_g2 = g2_group(curve) if curve.b2 is not None else None
         fp = self.tower.fp
         fp2 = self.tower.fp2
         r_bits = curve.fr.p.bit_length()
@@ -386,12 +386,18 @@ class CurveKernels:
         self.g1 = ProjCurveOps(fp, 3 * curve.b, r_bits, name=f"{curve.name}/G1")
         self.g1.set_subgroup_params(curve.fr.p, curve.cofactor)
 
-        b2 = self.oracle_g2.b
-        b3_g2 = self.tower.encode_fp2_const(
-            (3 * b2[0] % curve.fp.p, 3 * b2[1] % curve.fp.p)
-        )
-        self.g2 = ProjCurveOps(fp2, b3_g2, r_bits, name=f"{curve.name}/G2")
-        self.g2.set_subgroup_params(curve.fr.p, curve.g2_cofactor)
+        if curve.b2 is not None:
+            b2 = self.oracle_g2.b
+            b3_g2 = self.tower.encode_fp2_const(
+                (3 * b2[0] % curve.fp.p, 3 * b2[1] % curve.fp.p)
+            )
+            self.g2 = ProjCurveOps(fp2, b3_g2, r_bits,
+                                   name=f"{curve.name}/G2")
+            self.g2.set_subgroup_params(curve.fr.p, curve.g2_cofactor)
+        else:
+            # fields+towers+G1-only family (e.g. BLS12-377, which the
+            # reference itself carries only as pure field instances)
+            self.g2 = None
 
         self.fr = self.tower.fr
         self._msm = {}
@@ -419,6 +425,13 @@ class CurveKernels:
             from .msm import CurveMSM
 
             ops = self.g1 if grp == "g1" else self.g2
+            if ops is None:
+                from ..errors import UnsupportedError
+
+                raise UnsupportedError(
+                    f"{self.curve.name} has no G2 support (fields+towers"
+                    "+G1-only family)"
+                )
             self._msm[grp] = CurveMSM(ops, self.fr)
         return self._msm[grp]
 

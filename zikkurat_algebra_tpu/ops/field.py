@@ -149,6 +149,11 @@ class Field:
     # badly with operand count (the single 27-operand form never
     # finished compiling on hardware).  Enable via ZIKKURAT_SPLIT_SORT=1.
     use_split_sort = False
+    # Single-scan (serial) weighted-bucket-sum reductions in the MSM:
+    # ONE group-add while body instead of log-depth unrolled levels —
+    # compile-time win; set False (ZIKKURAT_LOGDEPTH_WSUM=1) to A/B the
+    # log-depth original at runtime.
+    use_serial_wsum = True
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

@@ -151,10 +151,19 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
       sum_b (b+1) S_b = M * sum_hi hi*R_hi + sum_lo (lo+1)*C_lo
     with row sums R_hi = sum_lo S and column sums C_lo = sum_hi S —
     two reductions (~2B adds) plus two sqrt(B)-sized weighted sums and
-    k doublings.  All reductions are single-scan (see _scan_reduce)."""
+    k doublings.  Reductions are single-scan (ONE group-add while body
+    instead of log2(B) of them — the TPU compile time of the MSM module
+    scales with the while-body count); the log-depth originals are kept
+    behind use_serial_wsum=False for runtime A/B."""
     B = S[0].shape[-1]
-    if B <= 64:
+    serial = getattr(ops.f, "use_serial_wsum", True)
+    if B <= 64 and serial:
         return _scan_wsum(ops, S, from_one=True)
+    if B <= 512 and not serial:
+        add = lambda A_, B_: ops.add(A_, B_)
+        suffix = lax.associative_scan(add, S, axis=S[0].ndim - 1,
+                                      reverse=True)
+        return _tree_reduce(ops, suffix)
     k = (B - 1).bit_length() // 2
     M = 1 << k
     H = -(-B // M)
@@ -163,10 +172,25 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
         inf = ops.infinity(S[0].shape[ops.f.struct_ndim:-1] + (pad,))
         S = tuple(jnp.concatenate([s, i], -1) for s, i in zip(S, inf))
     G = tuple(s.reshape(s.shape[:-1] + (H, M)) for s in S)
-    R = _scan_reduce(ops, G)                       # (.., H): sum over lo
-    C = _scan_reduce(ops, tuple(jnp.swapaxes(g, -1, -2) for g in G))
-    Whi = _scan_wsum(ops, R, from_one=False)
-    Wlo = _scan_wsum(ops, C, from_one=True)
+    if serial:
+        R = _scan_reduce(ops, G)                   # (.., H): sum over lo
+        C = _scan_reduce(ops, tuple(jnp.swapaxes(g, -1, -2) for g in G))
+        Whi = _scan_wsum(ops, R, from_one=False)
+        Wlo = _scan_wsum(ops, C, from_one=True)
+    else:
+        add = lambda A_, B_: ops.add(A_, B_)
+        axis = S[0].ndim - 1
+        R = _tree_reduce(ops, G)
+        C = _tree_reduce(ops, tuple(jnp.swapaxes(g, -1, -2) for g in G))
+
+        def wsum(T, from_one):
+            suf = lax.associative_scan(add, T, axis=axis, reverse=True)
+            if not from_one:
+                suf = tuple(s[..., 1:] for s in suf)
+            return _tree_reduce(ops, suf)
+
+        Whi = wsum(R, from_one=False)
+        Wlo = wsum(C, from_one=True)
 
     def dbl_step(_, r):
         return ops.dbl(r)

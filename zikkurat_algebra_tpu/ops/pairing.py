@@ -352,6 +352,14 @@ _PAIRING_CACHE: dict = {}
 
 
 def get_pairing(curve: CurveParams) -> PairingKernels:
+    if curve.b2 is None:
+        from ..errors import UnsupportedError
+
+        raise UnsupportedError(
+            f"{curve.name} has no G2/pairing support (fields+towers+G1-"
+            "only family; the reference likewise carries it only as pure "
+            "field instances)"
+        )
     pk = _PAIRING_CACHE.get(curve.name)
     if pk is None:
         with jax.ensure_compile_time_eval():   # see ntt.get_domain note

@@ -264,16 +264,25 @@ class TowerKernels:
         self.fp: Field = get_field(curve.fp)
         self.fr: Field = get_field(curve.fr)
 
-        self.fp2 = QuadExt(self.fp, self.fp.neg, name="Fp2")
+        qnr = getattr(curve.tower, "qnr", -1)
+        self.qnr = qnr
+        if qnr == -1:
+            mul_u2 = self.fp.neg
+        else:
+            # u^2 = qnr (small): carry-free limb scaling
+            mul_u2 = lambda a: self.fp.scale_small(a, qnr)
+        self.fp2 = QuadExt(self.fp, mul_u2, name="Fp2")
 
         xi0, xi1 = curve.tower.xi0, curve.tower.xi1
 
         def mul_xi(a_fp2):
-            """(a0 + a1 u)(xi0 + xi1 u) = (xi0 a0 - xi1 a1) + (xi1 a0 + xi0 a1)u
-            — small-int limb scalings, carry-free (xi in {9+u, 1+u})."""
+            """(a0 + a1 u)(xi0 + xi1 u) = (xi0 a0 + qnr xi1 a1)
+            + (xi1 a0 + xi0 a1) u — small-int limb scalings, carry-free
+            (xi in {9+u, 1+u, u})."""
             fp = self.fp
             a0, a1 = a_fp2[:, 0], a_fp2[:, 1]
-            c0 = fp.sub(fp.scale_small(a0, xi0), fp.scale_small(a1, xi1))
+            c0 = fp.add(fp.scale_small(a0, xi0),
+                        fp.scale_small(a1, qnr * xi1))
             c1 = fp.add(fp.scale_small(a0, xi1), fp.scale_small(a1, xi0))
             return jnp.stack([c0, c1], 1)
 
@@ -284,6 +293,10 @@ class TowerKernels:
         # Frobenius gamma_i = xi^{i (p-1)/6} for i = 0..5, Montgomery form
         gs = self.oracle.fp12._gammas()
         self._gammas_dev = [self.encode_fp2_const(g) for g in gs]
+        with jax.ensure_compile_time_eval():
+            self._qnr_inv_mont = self.fp.encode(
+                pow(qnr, -1, curve.fp.p)
+            )
 
     @jit_method
     def fp2_sqrt(self, a):
@@ -298,7 +311,8 @@ class TowerKernels:
         squaring — constant work, no data-dependent control flow."""
         f = self.fp
         a0, a1 = a[:, 0], a[:, 1]
-        n = f.add(f.sqr(a0), f.sqr(a1))
+        # N(a) = a0^2 - qnr a1^2 (= a0^2 + a1^2 for u^2 = -1)
+        n = f.norm(f.sub(f.sqr(a0), f.scale_small(f.sqr(a1), self.qnr)))
         s, _ = f.sqrt(n)
         t1, ok1 = f.sqrt(f.div2(f.add(a0, s)))
         t2, _ = f.sqrt(f.div2(f.sub(a0, s)))
@@ -308,7 +322,9 @@ class TowerKernels:
         x1 = f.mul(a1, f.inv(f.add(t, t)))
         z1 = f.is_zero(a1)
         r0, okr0 = f.sqrt(a0)
-        rn, _ = f.sqrt(f.neg(a0))
+        # pure-u root: (x1 u)^2 = qnr x1^2 = a0  =>  x1 = sqrt(a0 / qnr)
+        qc = self._qnr_inv_mont.reshape((f.L,) + (1,) * (a0.ndim - 1))
+        rn, _ = f.sqrt(f.mul(a0, jnp.broadcast_to(qc, a0.shape)))
         zero = jnp.zeros_like(a0)
         c0 = f.select(z1, f.select(okr0, r0, zero), t)
         c1 = f.select(z1, f.select(okr0, zero, rn), x1)

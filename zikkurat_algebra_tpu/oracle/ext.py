@@ -20,12 +20,17 @@ from .field import Fp
 
 
 class Fp2Field:
-    def __init__(self, base: Fp, xi0: int, xi1: int):
+    def __init__(self, base: Fp, xi0: int, xi1: int, qnr: int = -1):
         self.fp = base
         self.p = base.p
+        self.qnr = qnr % base.p                 # u^2 = qnr (a non-residue)
         self.xi = (xi0 % base.p, xi1 % base.p)  # the Fp6 non-residue, lives here
         self.zero = (0, 0)
         self.one = (1, 0)
+
+    def _norm(self, a):
+        """N(a) = a0^2 - qnr * a1^2 (= a0^2 + a1^2 for u^2 = -1)."""
+        return (a[0] * a[0] - self.qnr * a[1] * a[1]) % self.p
 
     def from_base(self, a: int):
         return (a % self.p, 0)
@@ -46,13 +51,15 @@ class Fp2Field:
         return (f.neg(a[0]), f.neg(a[1]))
 
     def mul(self, a, b):
-        # u^2 = -1:  (a0 b0 - a1 b1, a0 b1 + a1 b0)
+        # u^2 = qnr:  (a0 b0 + qnr a1 b1, a0 b1 + a1 b0)
         p = self.p
-        return ((a[0] * b[0] - a[1] * b[1]) % p, (a[0] * b[1] + a[1] * b[0]) % p)
+        return ((a[0] * b[0] + self.qnr * a[1] * b[1]) % p,
+                (a[0] * b[1] + a[1] * b[0]) % p)
 
     def sqr(self, a):
         p = self.p
-        return ((a[0] * a[0] - a[1] * a[1]) % p, (2 * a[0] * a[1]) % p)
+        return ((a[0] * a[0] + self.qnr * a[1] * a[1]) % p,
+                (2 * a[0] * a[1]) % p)
 
     def scale_fp(self, k: int, a):
         p = self.p
@@ -66,10 +73,9 @@ class Fp2Field:
         return (a[0], self.fp.neg(a[1]))
 
     def inv(self, a):
-        # (a0 - a1 u) / (a0^2 + a1^2); inv(0) == 0 as in the base field
+        # (a0 - a1 u) / N(a); inv(0) == 0 as in the base field
         p = self.p
-        norm = (a[0] * a[0] + a[1] * a[1]) % p
-        ninv = self.fp.inv(norm)
+        ninv = self.fp.inv(self._norm(a))
         return ((a[0] * ninv) % p, (p - a[1]) * ninv % p if a[1] else 0)
 
     def div(self, a, b):
@@ -85,7 +91,8 @@ class Fp2Field:
         return _generic_pow(self, a, e)
 
     def frobenius(self, a):
-        """x -> x^p; over Fp2 this is conjugation."""
+        """x -> x^p; over Fp2 this is conjugation for ANY quadratic
+        non-residue qnr: u^p = u * qnr^((p-1)/2) = -u."""
         return self.conj(a)
 
     def sqrt(self, a):
@@ -94,8 +101,7 @@ class Fp2Field:
             return self.zero
         p = self.p
         f = self.fp
-        norm = (a[0] * a[0] + a[1] * a[1]) % p
-        n = f.sqrt(norm)
+        n = f.sqrt(self._norm(a))
         if n is None:
             return None
         for nn in (n, f.neg(n)):
@@ -105,7 +111,9 @@ class Fp2Field:
             if x0 is None:
                 continue
             if x0 == 0:
-                x1 = f.sqrt(f.neg(a[0])) if a[1] == 0 else None
+                # pure-u root: (x1 u)^2 = qnr x1^2 = a0
+                x1 = (f.sqrt(f.div(a[0], self.qnr))
+                      if a[1] == 0 else None)
                 if a[1] == 0 and x1 is not None:
                     return (0, x1)
                 continue
@@ -347,6 +355,7 @@ class Tower:
         self.curve = curve
         self.fp = Fp(curve.fp)
         self.fr = Fp(curve.fr)
-        self.fp2 = Fp2Field(self.fp, curve.tower.xi0, curve.tower.xi1)
+        self.fp2 = Fp2Field(self.fp, curve.tower.xi0, curve.tower.xi1,
+                            getattr(curve.tower, "qnr", -1))
         self.fp6 = Fp6Field(self.fp2)
         self.fp12 = Fp12Field(self.fp6)

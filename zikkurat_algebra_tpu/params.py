@@ -98,6 +98,9 @@ class TowerParams:
     # xi = xi0 + xi1*u, the Fp6 non-residue
     xi0: int
     xi1: int
+    # Fp2 = Fp[u]/(u^2 - qnr); BN128/BLS12-381 use u^2 + 1, BLS12-377
+    # uses u^2 + 5 (pure/src/.../Instances/BLS12_377.hs:26)
+    qnr: int = -1
 
 
 @dataclass(frozen=True)
@@ -117,9 +120,12 @@ class CurveParams:
     g1_gen: Tuple[int, int]
     glv_beta_lambda: Optional[Tuple[int, int]]
     # twisted curve over Fp2: y^2 = x^3 + b2, b2 = b20 + b21*u
-    b2: Tuple[int, int]
-    g2_cofactor: int
-    g2_gen: Tuple[Tuple[int, int], Tuple[int, int]]
+    # G2 twist data; None => the family is supported at the
+    # fields+towers+G1 level only (the reference's pure layer likewise
+    # carries BLS12-377 only as field/tower instances, Run.hs:72-134)
+    b2: Optional[Tuple[int, int]]
+    g2_cofactor: Optional[int]
+    g2_gen: Optional[Tuple[Tuple[int, int], Tuple[int, int]]]
     tower: TowerParams
     # curve seed x; ate loop parameter and sign conventions derive from this
     seed: int
@@ -240,6 +246,58 @@ BLS12_381 = CurveParams(
 )
 
 # ---------------------------------------------------------------------------
+# BLS12-377
+# p, r and the tower shape (u^2+5, v^3-u, w^2-v) from the reference's pure
+# layer (pure/src/ZK/Algebra/Pure/Curve/SomeCurves.hs:72-74 and
+# Instances/BLS12_377.hs:26-28) — the reference supports this family at the
+# FIELD+TOWER level only (pure/test/Run.hs), with no generated C.  Here the
+# width-generic kernels extend it to G1 (curve constants derived and
+# verified offline: G = h1 * (1, sqrt(2)), r*G = inf; GLV lambda = z^2 - 1,
+# beta checked by phi(G) == lambda*G).  G2/pairing are out of scope to
+# match the reference (b2 = None).
+# ---------------------------------------------------------------------------
+
+BLS12_377_P = 0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001
+BLS12_377_R = 0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001
+
+BLS12_377_FP = FieldParams(
+    name="BLS12-377/Fp", p=BLS12_377_P, multiplicative_gen=5
+)
+BLS12_377_FR = FieldParams(
+    name="BLS12-377/Fr",
+    p=BLS12_377_R,
+    multiplicative_gen=11,
+    # (r - 1) has 2-adicity 47; generator = 11^((r-1)/2^47), order verified
+    fft_domain=(
+        47,
+        6924886788847882060123066508223519077232160750698452411071850219367055984476,
+    ),
+)
+
+BLS12_377 = CurveParams(
+    name="BLS12-377",
+    fp=BLS12_377_FP,
+    fr=BLS12_377_FR,
+    a=0,
+    b=1,
+    cofactor=0x170B5D44300000000000000000000000,   # (z-1)^2 / 3
+    g1_gen=(
+        81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
+        241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+    ),
+    glv_beta_lambda=(
+        80949648264912719408558363140637477264845294720710499478137287262712535938301461879813459410945,
+        0x452217CC900000010A11800000000000,        # z^2 - 1 mod r
+    ),
+    b2=None,
+    g2_cofactor=None,
+    g2_gen=None,
+    tower=TowerParams(xi0=0, xi1=1, qnr=-5),      # u^2 = -5, v^3 = u
+    seed=0x8508C00000000001,
+    family="bls",
+)
+
+# ---------------------------------------------------------------------------
 # Corner-case TEST primes (near powers of two), the analog of the
 # reference's test-prime table (codegen/src/Zikkurat/Primes.hs:17-62).
 # Chosen to stress the signed radix-2^15 limb core: limb counts L in
@@ -267,12 +325,14 @@ TEST_PRIMES = {
     "P255+": FieldParams(name="test/2^255+95", p=2**255 + 95, multiplicative_gen=3),
 }
 
-CURVES = {"BN128": BN128, "BLS12-381": BLS12_381}
+CURVES = {"BN128": BN128, "BLS12-381": BLS12_381, "BLS12-377": BLS12_377}
 FIELDS = {
     "BN128/Fp": BN128_FP,
     "BN128/Fr": BN128_FR,
     "BLS12-381/Fp": BLS12_381_FP,
     "BLS12-381/Fr": BLS12_381_FR,
+    "BLS12-377/Fp": BLS12_377_FP,
+    "BLS12-377/Fr": BLS12_377_FR,
 }
 
 
