@@ -220,10 +220,13 @@ def main():
         Field.use_msm_kernel = False
     if os.environ.get("ZIKKURAT_NTT_KERNEL"):
         Field.use_ntt_kernel = True
-    if os.environ.get("ZIKKURAT_SPLIT_SORT"):
-        Field.use_split_sort = True
+    ss = os.environ.get("ZIKKURAT_SPLIT_SORT")
+    if ss is not None:
+        Field.use_split_sort = ss not in ("0", "")
     if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
         Field.use_serial_wsum = False
+    if os.environ.get("ZIKKURAT_SERIAL_WSUM"):
+        Field.use_serial_wsum = True
 
     if args.workload == "scaling":
         return bench_scaling(args, jax)

@@ -143,17 +143,22 @@ class Field:
     # consecutive compare-exchange passes.  Keep the built-in sort;
     # kernel retained behind this flag for future Mosaic work.
     use_sort_kernel = False
-    # EXPERIMENTAL two-sort variadic MSM sort (ops/msm.py per_chunk):
-    # less data movement than the default broadcast-key sort_key_val,
-    # but XLA:TPU's variadic sort compile cost/VMEM footprint scales
-    # badly with operand count (the single 27-operand form never
-    # finished compiling on hardware).  Enable via ZIKKURAT_SPLIT_SORT=1.
-    use_split_sort = False
-    # Single-scan (serial) weighted-bucket-sum reductions in the MSM:
-    # ONE group-add while body instead of log-depth unrolled levels —
-    # compile-time win; set False (ZIKKURAT_LOGDEPTH_WSUM=1) to A/B the
-    # log-depth original at runtime.
-    use_serial_wsum = True
+    # Two half-payload variadic MSM sorts (ops/msm.py per_chunk): less
+    # data movement than the broadcast-key sort_key_val — measured
+    # 301.2k vs 251.3k pts/s at 2^18 (+20%), compile 134 s.  CAUTION:
+    # XLA:TPU's variadic sort compile cost/VMEM footprint scales badly
+    # with operand count — the single 27-operand form blows the 16M
+    # scoped-VMEM limit at 2^20 and never finished compiling at 2^18;
+    # keep each sort at <= ~15 operands.  ZIKKURAT_SPLIT_SORT=0 reverts.
+    use_split_sort = True
+    # Weighted-bucket-sum reduction strategy in the MSM: "auto" uses the
+    # single-scan serial form for base-field (G1) coords — ONE group-add
+    # while body instead of log-depth unrolled levels, a large compile
+    # win at no measured runtime cost (251.3k vs 249.5k pts/s) — and the
+    # log-depth form for tower coords (G2), where the serial loop's tiny
+    # Fp2 steps are while-overhead-bound (40.7k vs 70.3k pts/s at 2^16).
+    # True/False force one form (ZIKKURAT_LOGDEPTH_WSUM=1 forces False).
+    use_serial_wsum = "auto"
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

@@ -156,7 +156,9 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
     scales with the while-body count); the log-depth originals are kept
     behind use_serial_wsum=False for runtime A/B."""
     B = S[0].shape[-1]
-    serial = getattr(ops.f, "use_serial_wsum", True)
+    serial = getattr(ops.f, "use_serial_wsum", "auto")
+    if serial == "auto":
+        serial = ops.f.struct_ndim == 1
     if B <= 64 and serial:
         return _scan_wsum(ops, S, from_one=True)
     if B <= 512 and not serial:
