@@ -149,8 +149,12 @@ class Field:
     # XLA:TPU's variadic sort compile cost/VMEM footprint scales badly
     # with operand count — the single 27-operand form blows the 16M
     # scoped-VMEM limit at 2^20 and never finished compiling at 2^18;
-    # keep each sort at <= ~15 operands.  ZIKKURAT_SPLIT_SORT=0 reverts.
-    use_split_sort = True
+    # keep each sort at <= ~15 operands.  "auto" = split only for
+    # base-field (G1) coords: G2's Fp2 coordinates double the packed
+    # rows, putting each half-sort back at 27 operands — measured
+    # SLOWER than broadcast-key sort_key_val there (67.1k vs 70.3k
+    # pts/s at 2^16).  ZIKKURAT_SPLIT_SORT=0/1 forces.
+    use_split_sort = "auto"
     # Weighted-bucket-sum reduction strategy in the MSM: "auto" uses the
     # single-scan serial form for base-field (G1) coords — ONE group-add
     # while body instead of log-depth unrolled levels, a large compile
@@ -169,6 +173,8 @@ class Field:
     pallas_tile_msm = 512     # lane tile of the MSM bucket kernel (swept:
                               # 512 -> 138 ms, 256 -> 145, 1024 -> 170 at
                               # the 2^18 chunk shape)
+    pallas_unroll_msm = 8     # block-positions per grid step (sublane
+                              # multiple; ZIKKURAT_MSM_UNROLL to sweep)
     pallas_interpret = False  # CPU emulation of the kernels (tests only)
 
     def _mul_impl(self, a, b):

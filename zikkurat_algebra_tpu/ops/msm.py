@@ -367,7 +367,9 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
 
     X, Y, Z = block_madd_scan(
         stream(px), stream(py), flg, L, f.p_np, f.pinv15, ops.b3,
-        f.one_np, tile=f.pallas_tile_msm, interpret=f.pallas_interpret,
+        f.one_np, tile=f.pallas_tile_msm,
+        unroll=getattr(f, "pallas_unroll_msm", 8),
+        interpret=f.pallas_interpret,
     )                                           # (L, m, B) running values
 
     S = tuple(o[:, -1].reshape(L, wc, nblk) for o in (X, Y, Z))
@@ -513,7 +515,9 @@ class MSM:
                     ad, flat, interpret=ops.f.pallas_interpret
                 )
                 srows = [sorted_flat[i] for i in range(sorted_flat.shape[0])]
-            elif getattr(ops.f, "use_split_sort", False):
+            elif (getattr(ops.f, "use_split_sort", "auto") == "auto"
+                  and ops.f.struct_ndim == 1
+                  or getattr(ops.f, "use_split_sort", "auto") is True):
                 # EXPERIMENTAL: two half-payload variadic sorts.  The
                 # single 27-operand variadic sort (one comparator, least
                 # data movement) is a COMPILER KILLER: XLA:TPU allocates
