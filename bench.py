@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.md): BLS12-381 G1 Pippenger MSM points/sec on the TPU.
-Sizes: --n log2 points (default 16; --smoke forces 10 and CPU-friendly
-settings).  Correctness is cross-checked against the oracle on a small
-prefix before timing.
+Headline (BASELINE.md): BLS12-381 G1 Pippenger MSM points/sec on the TPU
+at 2^20 (the BASELINE.json target config).  --n overrides; --smoke forces
+2^10 on CPU.  Correctness is cross-checked against the oracle on a small
+prefix before timing (at the MAIN problem shape, so the check run warms
+the exact compile the timed runs reuse).
 
 vs_baseline: ratio vs the measured native CPU reference implementation
 (cpp/ zikkurat-style Jacobian Pippenger) when built — 0.0 until then.
@@ -157,7 +158,9 @@ def _emit(out: dict):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=18, help="log2 number of points")
+    ap.add_argument("--n", type=int, default=20,
+                    help="log2 number of points (default 2^20 — the "
+                         "BASELINE.json headline config)")
     ap.add_argument("--curve", default="BLS12-381")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -539,7 +542,7 @@ def bench_pairing(args, jax):
     curve = P.CURVES[args.curve]
     ck = get_curves(curve)
     pk = get_pairing(curve)
-    b = 1 << min(args.n, 6)          # pairing batch (default 2^6 = 64)
+    b = 1 << min(args.n, 12)         # pairing batch (--n 6 => 64)
     rng = random.Random(99)
     og1, og2 = ck.oracle_g1, ck.oracle_g2
     p1s = [og1.rnd(rng) for _ in range(min(b, 8))] * (max(b // 8, 1))
