@@ -684,7 +684,9 @@ def _cpp_baseline_pps(args):
                 return pps, "reference C (single-thread)"
             except Exception:
                 pass
-        if not os.path.exists(exe):
+        if args.curve != "BLS12-381" or not os.path.exists(exe):
+            # the cpp stand-in implements BLS12-381 G1 only — do not
+            # mislabel it as a baseline for other curves
             return None
         try:
             out = subprocess.run(

@@ -164,6 +164,40 @@ def test_subgroup_check_g1(rng, ck):
     assert all(np.asarray(ops.is_inf(rP)))
 
 
+def test_glv_fast_subgroup_check(rng, ck):
+    """The GLV-endomorphism membership test (phi(P) == lam*P, a ~half-
+    width scalar mul) must agree with the reference-definition check
+    (r*P == inf) on subgroup points AND on genuine on-curve points
+    OUTSIDE the subgroup (cofactor > 1 only; BN128's cofactor-1 G1
+    reduces membership to is_on_curve)."""
+    og = ck.oracle_g1
+    ops = ck.g1
+    f = og.f
+    ins = [og.rnd(rng) for _ in range(3)] + [None]
+    A = ops.from_affine(ck.encode_g1(ins))
+    fast = np.asarray(ops.is_in_subgroup(A))
+    slow = np.asarray(ops.is_in_subgroup_slow(A))
+    assert fast.tolist() == slow.tolist() == [True] * 4
+    if ck.curve.cofactor == 1:
+        return
+    # on-curve, NOT in the subgroup: random x until y^2 = x^3 + b is a
+    # square, WITHOUT clearing the cofactor (checked via the oracle)
+    outs = []
+    while len(outs) < 3:
+        x = rng.randrange(og.f.p)
+        y = f.sqrt((x * x % f.p * x + og.b) % f.p)
+        if y is None:
+            continue
+        # NOTE: oracle scalar_mul reduces k mod r (subgroup semantics) —
+        # the unreduced variant is the one that detects non-membership
+        if og.scalar_mul_unreduced(og.r, (x, y)) is not None:
+            outs.append((x, y))
+    B = ops.from_affine(ck.encode_g1(outs))
+    fast = np.asarray(ops.is_in_subgroup(B))
+    slow = np.asarray(ops.is_in_subgroup_slow(B))
+    assert fast.tolist() == slow.tolist() == [False] * 3
+
+
 def test_limbs_to_bits(rng, ck):
     fr = ck.fr
     vals = [rng.randrange(fr.p) for _ in range(5)]

@@ -129,8 +129,10 @@ def test_msm_pallas_bucket_path(rng):
 
 
 def test_window_size_heuristic():
-    # c = round(log2 N - 3.5) clamped (bn128_G1_jac.c:648-650)
-    assert window_size(1 << 20) == 16
+    # c = round(log2 N - 3.5) (bn128_G1_jac.c:648-650), upper clamp 15
+    # (measured: c=15 beats c=16 at 2^20, 352.2k vs 336.3k pts/s)
+    assert window_size(1 << 20) == 15
+    assert window_size(1 << 22) == 15
     assert window_size(1 << 10) == 6
     assert window_size(10) == 1
     assert window_size(1) == 1

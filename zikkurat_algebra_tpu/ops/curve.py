@@ -299,9 +299,46 @@ class ProjCurveOps:
     def set_subgroup_params(self, order: int, cofactor: int):
         self._order = order
         self._cofactor = cofactor
+        self._glv = None
+
+    def set_glv(self, beta_mont: jax.Array, lam: int):
+        """Enable the GLV endomorphism phi(x, y) = (beta x, y) with
+        eigenvalue lam on the r-subgroup (beta a Montgomery-form device
+        constant; verified against the oracle generator at build time)."""
+        self._glv = (beta_mont, lam)
+
+    def endo(self, P: Point) -> Point:
+        """phi(X:Y:Z) = (beta X : Y : Z) — ONE field mul."""
+        beta, _ = self._glv
+        b = jnp.broadcast_to(
+            beta.reshape(beta.shape + (1,) * (P[0].ndim - beta.ndim)),
+            P[0].shape,
+        )
+        return (self.f.mul(P[0], b), P[1], P[2])
 
     def is_in_subgroup(self, P: Point) -> jax.Array:
-        """on-curve AND r*P == infinity (branch-free)."""
+        """Branch-free subgroup membership.
+
+        Fast paths (beyond the reference's cofactor-order mul,
+        bn128_G1_affine.c:113-130): cofactor 1 => on-curve IS membership
+        (BN G1); with a GLV endomorphism, on-curve AND phi(P) == lam*P
+        (a ~half-width scalar mul — Scott, "A note on group membership
+        tests for G1, G2 and GT", ePrint 2021/1130; differentially
+        tested against the r*P == inf check incl. on-curve points
+        OUTSIDE the subgroup, tests/test_curve.py)."""
+        on = self.is_on_curve(P)
+        if self._cofactor == 1:
+            return on
+        if self._glv is not None:
+            _, lam = self._glv
+            lamP = self.scalar_mul_static(lam, P)
+            return jnp.logical_and(on, self.eq(self.endo(P), lamP))
+        rP = self.scalar_mul_static(self._order, P)
+        return jnp.logical_and(on, self.is_inf(rP))
+
+    def is_in_subgroup_slow(self, P: Point) -> jax.Array:
+        """The reference's own definition (on-curve AND r*P == inf) —
+        kept as the differential referee for the fast paths."""
         rP = self.scalar_mul_static(self._order, P)
         return jnp.logical_and(self.is_on_curve(P), self.is_inf(rP))
 
@@ -385,6 +422,24 @@ class CurveKernels:
 
         self.g1 = ProjCurveOps(fp, 3 * curve.b, r_bits, name=f"{curve.name}/G1")
         self.g1.set_subgroup_params(curve.fr.p, curve.cofactor)
+        if curve.glv_beta_lambda is not None and curve.cofactor != 1:
+            # pair beta with ITS eigenvalue (lambda or lambda^2 — the
+            # recorded pair need not match) by checking phi(G) on the
+            # oracle generator, then enable the fast membership test
+            beta, lam = curve.glv_beta_lambda
+            r = curve.fr.p
+            gen = self.oracle_g1.gen
+            phi_g = (beta * gen[0] % curve.fp.p, gen[1])
+            for cand in (lam, lam * lam % r):
+                if self.oracle_g1.scalar_mul(cand, gen) == phi_g:
+                    with jax.ensure_compile_time_eval():
+                        self.g1.set_glv(fp.encode(beta), cand)
+                    break
+            else:
+                raise ValueError(
+                    f"{curve.name}: GLV beta does not match lambda or "
+                    "lambda^2 on the generator"
+                )
 
         if curve.b2 is not None:
             b2 = self.oracle_g2.b
