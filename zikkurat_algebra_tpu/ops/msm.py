@@ -518,40 +518,40 @@ class MSM:
                     ad, flat, interpret=ops.f.pallas_interpret
                 )
                 srows = [sorted_flat[i] for i in range(sorted_flat.shape[0])]
-            elif (getattr(ops.f, "use_split_sort", "auto") == "auto"
-                  and ops.f.struct_ndim == 1
-                  or getattr(ops.f, "use_split_sort", "auto") is True):
-                # EXPERIMENTAL: two half-payload variadic sorts.  The
-                # single 27-operand variadic sort (one comparator, least
+            elif getattr(ops.f, "use_split_sort", "auto") in ("auto", True):
+                # GROUPED variadic sorts, <= 13 payload rows each.  The
+                # single all-rows variadic sort (one comparator, least
                 # data movement) is a COMPILER KILLER: XLA:TPU allocates
                 # scoped VMEM per sort operand and blows the 16M limit at
                 # (4, 2^20) x 27 rows ("Ran out of memory in memory space
                 # vmem ... sort"), and at 2^18 the compile ran >50 min
                 # until the remote compile service dropped the connection
-                # — twice.  Splitting halves the per-op footprint; the
-                # composite (digit, lane-index) key is UNIQUE, so both
-                # sorts apply the IDENTICAL permutation and x/y rows stay
-                # paired.  Off by default until its compile time and
-                # runtime are validated on hardware.
+                # — twice.  Grouping bounds the per-op footprint; the
+                # composite (digit, lane-index) key is UNIQUE, so every
+                # group's sort applies the IDENTICAL permutation and the
+                # coordinate rows stay paired.  Measured at 2^18 G1:
+                # 301.2k pts/s vs 251.3k for the broadcast-key
+                # sort_key_val (+20%); G2's 49 payload rows become four
+                # 15-operand sorts.
                 iota = jnp.broadcast_to(
                     jnp.arange(n, dtype=jnp.int32)[None], (wc, n)
                 )
-                nx = row_counts[0]
-                out1 = lax.sort(
-                    [ad, iota]
-                    + [jnp.broadcast_to(packed[i], (wc, n))
-                       for i in range(nx)]
-                    + [flagrow],
-                    dimension=1, num_keys=2,
+                rows_all = (
+                    [jnp.broadcast_to(packed[i], (wc, n))
+                     for i in range(packed.shape[0])]
+                    + [flagrow]
                 )
-                out2 = lax.sort(
-                    [ad, iota]
-                    + [jnp.broadcast_to(packed[i], (wc, n))
-                       for i in range(nx, packed.shape[0])],
-                    dimension=1, num_keys=2,
-                )
-                d_sorted = out1[0]
-                srows = list(out1[2:-1]) + list(out2[2:]) + [out1[-1]]
+                GROUP = 13
+                srows = []
+                d_sorted = None
+                for off in range(0, len(rows_all), GROUP):
+                    out = lax.sort(
+                        [ad, iota] + rows_all[off:off + GROUP],
+                        dimension=1, num_keys=2,
+                    )
+                    if d_sorted is None:
+                        d_sorted = out[0]
+                    srows += list(out[2:])
             else:
                 # DEFAULT: two-operand sort_key_val with the key BROADCAST
                 # next to every payload row (one 3-D payload array).  This
