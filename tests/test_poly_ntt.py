@@ -224,3 +224,23 @@ def test_ntt_four_step_vs_oracle(rng, fr, m):
     got_b = dom.ntt(ab)
     assert f.decode(got_b[:, 0]) == oracle_ntt_fwd(o.p, dom.gen, av)
     assert f.decode(got_b[:, 1]) == oracle_ntt_fwd(o.p, dom.gen, av[::-1])
+
+
+def test_ntt_radix4_differential(rng):
+    """The flag-gated fused double-stage (radix-4) path must be
+    bit-exact vs the default radix-2 pipeline and the oracle, for even
+    AND odd log2 sizes (odd sizes end with one radix-2 stage).  Kept as
+    an A/B path only — measured SLOWER end-to-end on v5e (ops/ntt.py)."""
+    from zikkurat_algebra_tpu.ops.field import get_field
+    from zikkurat_algebra_tpu.ops.ntt import NTTDomain
+    from zikkurat_algebra_tpu.oracle.ntt import ntt as oracle_ntt
+    from zikkurat_algebra_tpu.oracle.ntt import subgroup_gen
+
+    f = get_field(P.BLS12_381.fr)
+    for m in (4, 7):
+        dom = NTTDomain(f, m)
+        dom._radix4 = True
+        xs = [rng.randrange(f.p) for _ in range(1 << m)]
+        got = f.decode(dom.ntt(f.encode(xs)))
+        assert got == oracle_ntt(f.p, subgroup_gen(P.BLS12_381.fr, m), xs)
+        assert f.decode(dom.intt(dom.ntt(f.encode(xs)))) == xs

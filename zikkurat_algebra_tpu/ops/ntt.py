@@ -87,6 +87,21 @@ class NTTDomain:
         self._rev_halves = bit_reverse_halves(self.m)
         self._fwd_tables = None
         self._inv_tables = None
+        self._fwd4_tables = None
+        self._inv4_tables = None
+        import os as _os
+
+        # fused double-stage butterflies (see _transform4).  Default
+        # OFF: measured SLOWER than the radix-2 lane pipeline on v5e
+        # (2^22: 1.29 s vs 0.624 s; 2^20: 0.324 s vs 0.132 s) — the
+        # 5-operand fused mul_list and wider interleave lose more to
+        # relayout than the halved stage count saves.  Third negative
+        # result for hand-restructured butterflies (Pallas butterfly,
+        # four-step, radix-4): XLA's fusion around the one big CIOS
+        # kernel per stage is the winning schedule.  ZIKKURAT_NTT_RADIX4=1
+        # re-enables for future A/B.
+        self._radix4 = _os.environ.get("ZIKKURAT_NTT_RADIX4", "0") == "1" \
+            and self.m >= 2
         if four_step is None:
             import os
 
@@ -169,6 +184,68 @@ class NTTDomain:
             stride = 1 << (self.m - s)
             tables.append(full[:, ::stride][:, :half])
         return tables
+
+    # -- fused double-stage (radix-4) twiddles ---------------------------
+    # One double-stage covers radix-2 stages s and s+1 with FIVE
+    # independent products per 4 outputs (vs 4 dependent ones), so both
+    # stages' multiplies ride ONE fused mul_list kernel and the
+    # interleave relayout happens once per pair — the per-stage cost is
+    # dominated by launches/relayouts (~24 ms of ~29 ms at 2^22), not
+    # multiplies.  Writing W = w_{s+1} (order 2^(s+1)):
+    #   x0 = (a + W^2j b) + (W^j c + W^3j d)
+    #   x1 = (a - W^2j b) + (W^(h+j) c - W^(h+3j) d)
+    #   x2 = (a + W^2j b) - (W^j c + W^3j d)
+    #   x3 = (a - W^2j b) - (W^(h+j) c - W^(h+3j) d)
+    # The W^2j table is stage s's existing table; the other four are
+    # geometric ladders g^(off + step*j) built once per domain.
+    @property
+    def _fwd4(self):
+        if self._fwd4_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._fwd4_tables = self._stage4_tables(self.gen)
+        return self._fwd4_tables
+
+    @property
+    def _inv4(self):
+        if self._inv4_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._inv4_tables = self._stage4_tables(self.gen_inv)
+        return self._inv4_tables
+
+    def _stage4_tables(self, g: int):
+        p = self.field.p
+        f = self.field
+
+        def ladder(off_exp: int, step_exp: int, length: int) -> jax.Array:
+            if length <= 2048:
+                vals, acc = [], pow(g, off_exp, p)
+                ratio = pow(g, step_exp, p)
+                for _ in range(length):
+                    vals.append(acc)
+                    acc = acc * ratio % p
+                return f.encode(vals)
+            from .vector import powers
+
+            old = f.use_pallas
+            f.use_pallas = False     # per-level scan shapes (see above)
+            try:
+                return jax.jit(
+                    lambda a, b: powers(f, a, b, length)
+                )(f.encode(pow(g, off_exp, p)), f.encode(pow(g, step_exp, p)))
+            finally:
+                f.use_pallas = old
+
+        out = []
+        for s in range(1, self.m, 2):
+            h = 1 << (s - 1)
+            stride = 1 << (self.m - s - 1)   # exponent stride of W
+            out.append((
+                ladder(0, stride, h),            # W^j
+                ladder(0, 3 * stride, h),        # W^3j
+                ladder(h * stride, stride, h),   # W^(h+j)
+                ladder(h * stride, 3 * stride, h),  # W^(h+3j)
+            ))
+        return out
 
     def _twiddle_matrix(self, g: int) -> jax.Array:
         """Four-step inter-pass twiddles W[k1, j2] = g^(k1*j2) in
@@ -319,9 +396,98 @@ class NTTDomain:
             )
         return x
 
+    def _transform4(self, x: jax.Array, tables, tables4, perm) -> jax.Array:
+        """Fused double-stage (radix-4) variant of _transform: every
+        double-stage's five products run in ONE mul_list kernel on the
+        canonical (L, *batch, n/4) shape; odd log2-size domains finish
+        with one radix-2 stage.  Value growth: `a` rides through adds
+        gaining ~6p per double-stage => ~66p at 2^22, far inside the
+        2^13*p mul-input budget (limbs15.py invariant discipline)."""
+        f = self.field
+        L, n = x.shape[0], self.n
+        if x.shape[-1] != n:
+            from ..errors import DomainSizeError
+
+            raise DomainSizeError(
+                f"domain size {n} != array size {x.shape[-1]} "
+                f"(cf. Class/FFT.hs:61-63)"
+            )
+        batch = x.shape[1:-1]
+        nb = len(batch)
+        x = bit_reverse(x, *perm)
+        if n == 1:
+            return x
+        q = n // 4
+
+        def bcast(t, half, nblocks):
+            return jnp.broadcast_to(
+                t.reshape((L,) + (1,) * nb + (1, half)),
+                (L,) + batch + (nblocks, half),
+            ).reshape((L,) + batch + (nblocks * half,))
+
+        s = 1
+        while s <= self.m:
+            half = 1 << (s - 1)
+            if s + 1 <= self.m:
+                nblocks = n >> (s + 1)
+                xb = x.reshape((L,) + batch + (nblocks, 4, half))
+                a = xb[..., 0, :].reshape((L,) + batch + (q,))
+                b = xb[..., 1, :].reshape((L,) + batch + (q,))
+                c = xb[..., 2, :].reshape((L,) + batch + (q,))
+                d = xb[..., 3, :].reshape((L,) + batch + (q,))
+                tb = bcast(tables[s - 1], half, nblocks)
+                tc, td, tc2, td2 = (
+                    bcast(t, half, nblocks) for t in tables4[(s - 1) // 2]
+                )
+                e, mc, md, mc2, md2 = f.mul_list([
+                    (b, tb), (c, tc), (d, td), (c, tc2), (d, td2),
+                ])
+                s1 = f.add(a, e)
+                s2 = f.sub(a, e)
+                q1 = f.add(mc, md)
+                q2 = f.sub(mc2, md2)
+                outs = [f.add(s1, q1), f.add(s2, q2),
+                        f.sub(s1, q1), f.sub(s2, q2)]
+                # same cheap interleave pattern as the radix-2 stage:
+                # concatenate along the LAST axis of (nblocks, half)
+                # blocks (a stack on a new axis measured 14.6 s vs
+                # 0.64 s at 2^22 — catastrophic lane-granularity
+                # relayout)
+                x = jnp.concatenate(
+                    [o.reshape((L,) + batch + (nblocks, half))
+                     for o in outs], axis=-1,
+                ).reshape((L,) + batch + (n,))
+                s += 2
+            else:
+                # odd trailing radix-2 stage
+                nblocks = n >> s
+                xb = x.reshape((L,) + batch + (nblocks, 2, half))
+                u = xb[..., 0, :].reshape((L,) + batch + (n // 2,))
+                v = xb[..., 1, :].reshape((L,) + batch + (n // 2,))
+                tw = bcast(tables[s - 1], half, nblocks)
+                t = f.mul(v, tw)
+                hi = f.add(u, t).reshape((L,) + batch + (nblocks, half))
+                lo = f.sub(u, t).reshape((L,) + batch + (nblocks, half))
+                x = jnp.concatenate([hi, lo], axis=-1).reshape(
+                    (L,) + batch + (n,)
+                )
+                s += 1
+        return x
+
     @jit_method
     def _ntt_impl(self, x, tables, perm):
         return self._transform(x, list(tables), perm)
+
+    @jit_method
+    def _ntt_impl_r4(self, x, tables, tables4, perm):
+        return self._transform4(x, list(tables), list(tables4), perm)
+
+    @jit_method
+    def _intt_impl_r4(self, x, tables, tables4, perm, ninv):
+        y = self._transform4(x, list(tables), list(tables4), perm)
+        f = self.field
+        ninv = ninv.reshape((f.L,) + (1,) * (y.ndim - 1))
+        return f.mul(y, jnp.broadcast_to(ninv, y.shape))
 
     @jit_method
     def _intt_impl(self, x, tables, perm, ninv):
@@ -355,6 +521,9 @@ class NTTDomain:
         if self._four:
             return self._ntt4_impl(x, *self._four_args(False))
         rh = tuple(jnp.asarray(r) for r in self._rev_halves)
+        if self._radix4:
+            return self._ntt_impl_r4(x, tuple(self._fwd),
+                                     tuple(self._fwd4), rh)
         return self._ntt_impl(x, tuple(self._fwd), rh)
 
     def intt(self, x: jax.Array) -> jax.Array:
@@ -365,6 +534,11 @@ class NTTDomain:
                 x, *self._four_args(True), self._ninv_mont
             )
         rh = tuple(jnp.asarray(r) for r in self._rev_halves)
+        if self._radix4:
+            return self._intt_impl_r4(
+                x, tuple(self._inv), tuple(self._inv4), rh,
+                self._ninv_mont
+            )
         return self._intt_impl(
             x, tuple(self._inv), rh, self._ninv_mont
         )
