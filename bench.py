@@ -228,6 +228,12 @@ def main():
     ss = os.environ.get("ZIKKURAT_SPLIT_SORT")
     if ss is not None:
         Field.use_split_sort = ss not in ("0", "")
+    ss = os.environ.get("ZIKKURAT_STABLE_SORT")
+    if ss is not None:
+        Field.use_stable_sort = ss not in ("0", "")
+    ss = os.environ.get("ZIKKURAT_PACKED_FLAGS")
+    if ss is not None:
+        Field.use_packed_flags = ss not in ("0", "")
     if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
         Field.use_serial_wsum = False
     if os.environ.get("ZIKKURAT_SERIAL_WSUM"):

@@ -163,6 +163,19 @@ class Field:
     # Fp2 steps are while-overhead-bound (40.7k vs 70.3k pts/s at 2^16).
     # True/False force one form (ZIKKURAT_LOGDEPTH_WSUM=1 forces False).
     use_serial_wsum = "auto"
+    # Drop the iota tie-break operand from every grouped MSM sort and rely
+    # on is_stable=True instead: stability guarantees all groups (sharing
+    # the identical key row) apply the IDENTICAL permutation, which is the
+    # only thing the composite (digit, lane) key bought.  Bucket sums are
+    # order-independent group sums, so intra-bucket order changes are
+    # invisible downstream.  ZIKKURAT_STABLE_SORT=0/1 forces.
+    use_stable_sort = True
+    # Stash the balanced-digit sign + infinity flags in the SPARE top bits
+    # of the packed x-coordinate's top radix-2^32 row (381-bit coords use
+    # 29 of the top row's 32 bits) instead of a dedicated flag payload row
+    # — one less row through the sort network.  Requires >= 2 spare bits
+    # (all three curve families qualify).  ZIKKURAT_PACKED_FLAGS=0/1.
+    use_packed_flags = True
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

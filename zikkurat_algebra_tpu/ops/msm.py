@@ -490,6 +490,20 @@ class MSM:
         packed = jnp.concatenate(packed_rows, 0)            # (Rp, N)
         row_counts = [r.shape[0] for r in packed_rows]
         infi = ainf.astype(jnp.int32)
+        # flag packing: the top radix-2^32 row of each packed coordinate
+        # has 32*W32 - cbits spare bits; with >= 2 spare the per-window
+        # sign|inf flags ride INSIDE the last x row instead of a dedicated
+        # payload row (one less row through the sort network)
+        flag_shift = cbits - 32 * (W32 - 1)
+        pack_flags = (
+            getattr(ops.f, "use_packed_flags", False) and flag_shift <= 30
+        )
+        topx = row_counts[0] - 1
+        import numpy as _np
+
+        flag_clear = jnp.int32(_np.int32(_np.uint32(
+            ((1 << 32) - 1) ^ (3 << flag_shift)
+        )))
 
         def per_chunk(_, digit):
             # digit: (wc, N) SIGNED.  Sort points by |digit| per window
@@ -503,17 +517,25 @@ class MSM:
             ad = jnp.abs(digit)
             sg = (digit < 0).astype(jnp.int32)
             flagrow = sg | (infi[None] << 1)                # (wc, n)
+            if pack_flags:
+                # sign|inf ride the spare top bits of the last x row
+                rows_all = [
+                    (packed[i][None] | (flagrow << flag_shift))
+                    if i == topx
+                    else jnp.broadcast_to(packed[i], (wc, n))
+                    for i in range(packed.shape[0])
+                ]
+            else:
+                rows_all = [
+                    jnp.broadcast_to(packed[i], (wc, n))
+                    for i in range(packed.shape[0])
+                ] + [flagrow]
             if (getattr(ops.f, "use_pallas", False)
                     and getattr(ops.f, "use_sort_kernel", False)
                     and n & (n - 1) == 0 and n >= 2048):
                 from .pallas_sort import sort_key_val_pallas
 
-                flat = jnp.concatenate([
-                    jnp.broadcast_to(
-                        packed[:, None, :], (packed.shape[0], wc, n)
-                    ),
-                    flagrow[None],
-                ], 0)
+                flat = jnp.stack(rows_all)
                 d_sorted, sorted_flat = sort_key_val_pallas(
                     ad, flat, interpret=ops.f.pallas_interpret
                 )
@@ -526,49 +548,57 @@ class MSM:
                 # (4, 2^20) x 27 rows ("Ran out of memory in memory space
                 # vmem ... sort"), and at 2^18 the compile ran >50 min
                 # until the remote compile service dropped the connection
-                # — twice.  Grouping bounds the per-op footprint; the
-                # composite (digit, lane-index) key is UNIQUE, so every
-                # group's sort applies the IDENTICAL permutation and the
-                # coordinate rows stay paired.  Measured at 2^18 G1:
+                # — twice.  Grouping bounds the per-op footprint.  All
+                # groups must apply the IDENTICAL permutation: either the
+                # sort is STABLE over the shared key row (use_stable_sort,
+                # one key operand), or a (digit, lane-index) composite key
+                # is UNIQUE (two key operands).  Measured at 2^18 G1:
                 # 301.2k pts/s vs 251.3k for the broadcast-key
-                # sort_key_val (+20%); G2's 49 payload rows become four
-                # 15-operand sorts.
-                iota = jnp.broadcast_to(
-                    jnp.arange(n, dtype=jnp.int32)[None], (wc, n)
-                )
-                rows_all = (
-                    [jnp.broadcast_to(packed[i], (wc, n))
-                     for i in range(packed.shape[0])]
-                    + [flagrow]
-                )
+                # sort_key_val (+20%); G2's packed rows become four
+                # grouped sorts.
+                stable = getattr(ops.f, "use_stable_sort", False)
+                if not stable:
+                    iota = jnp.broadcast_to(
+                        jnp.arange(n, dtype=jnp.int32)[None], (wc, n)
+                    )
                 GROUP = 13
                 srows = []
                 d_sorted = None
                 for off in range(0, len(rows_all), GROUP):
-                    out = lax.sort(
-                        [ad, iota] + rows_all[off:off + GROUP],
-                        dimension=1, num_keys=2,
-                    )
+                    if stable:
+                        out = lax.sort(
+                            [ad] + rows_all[off:off + GROUP],
+                            dimension=1, num_keys=1, is_stable=True,
+                        )
+                        grp = out[1:]
+                    else:
+                        out = lax.sort(
+                            [ad, iota] + rows_all[off:off + GROUP],
+                            dimension=1, num_keys=2,
+                        )
+                        grp = out[2:]
                     if d_sorted is None:
                         d_sorted = out[0]
-                    srows += list(out[2:])
+                    srows += list(grp)
             else:
-                # DEFAULT: two-operand sort_key_val with the key BROADCAST
+                # FALLBACK: two-operand sort_key_val with the key BROADCAST
                 # next to every payload row (one 3-D payload array).  This
                 # moves the key redundantly (2x traffic vs the variadic
                 # form) but is the formulation the TPU compiler handles
                 # well — measured 245k pts/s end-to-end at 2^18 in round 2,
-                # while the variadic form above never finished compiling.
-                flat = jnp.concatenate([
-                    jnp.broadcast_to(
-                        packed[:, None, :], (packed.shape[0], wc, n)
-                    ),
-                    flagrow[None],
-                ], 0)
+                # while the 27-operand variadic form never finished
+                # compiling.
+                flat = jnp.stack(rows_all)
                 keys = jnp.broadcast_to(ad[None], flat.shape)
                 _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
                 d_sorted = lax.sort(ad, dimension=1)
                 srows = [sorted_flat[i] for i in range(flat.shape[0])]
+            if pack_flags:
+                flag_sorted = (srows[topx] >> flag_shift) & 3
+                srows[topx] = srows[topx] & flag_clear
+            else:
+                flag_sorted = srows[-1]
+                srows = srows[:-1]
             use_kernel = (
                 block
                 and getattr(ops.f, "use_pallas", False)
@@ -583,13 +613,13 @@ class MSM:
                     jnp.stack(
                         srows[row_counts[0]:row_counts[0] + row_counts[1]]
                     ),
-                    srows[-1],
+                    flag_sorted,
                     d_sorted, block, nbuckets,
                 )
                 buckets = tuple(b[..., 1:nbuckets] for b in buckets)
                 return None, _weighted_bucket_sum(ops, buckets)
-            sg_sorted = (srows[-1] & 1) == 1                # (wc, n)
-            inf_sorted = (srows[-1] & 2) == 2               # (wc, n)
+            sg_sorted = (flag_sorted & 1) == 1              # (wc, n)
+            inf_sorted = (flag_sorted & 2) == 2             # (wc, n)
             from .limbs15 import unpack32
 
             Ps = []

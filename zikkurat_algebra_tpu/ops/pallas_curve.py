@@ -15,7 +15,12 @@ TPU analog of the reference's serial bucket loop
 restructured as: sorted digits -> per-block running mixed-add chains
 (this kernel) -> cross-block carry combination (ops/msm.py level 2).
 
-G1 only (coordinate field = Fp, b3 a small int); G2 rides the XLA path.
+Two instantiations share the streaming/restart machinery:
+  * G1 (coordinate field = Fp, b3 a small int): `block_madd_scan`;
+  * G2 (coordinate field = Fp2, b3 an Fp2 constant): `block_madd_scan2` —
+    every Fp2 multiply is the same 3-product Karatsuba the XLA tower path
+    uses (ops/tower.py QuadExt.mul_list), so the kernel stays bit-exact
+    against the composed ops.madd.
 """
 
 from __future__ import annotations
@@ -89,6 +94,94 @@ def _unpack(pk, L: int):
     """(W, T) dense radix-2^32 rows (limbs15.pack32, the sort-payload
     format built in ops/msm.py) -> (L, T) canonical 15-bit limb planes."""
     return unpack32(pk, L)
+
+
+# ---------------------------------------------------------------------------
+# Fp2 arithmetic on pairs of (L, T) tiles — bit-exact mirrors of the XLA
+# tower ops (ops/tower.py QuadExt over Field): same op sequences, same
+# partial-carry placement.
+# ---------------------------------------------------------------------------
+
+
+def _f2_mul_nr(qnr: int, t):
+    """base element * nonresidue (u^2 = qnr, small int): neg for -1,
+    small scaling otherwise — mirrors TowerKernels mul_u2."""
+    if qnr == -1:
+        return _partial_carry(-t)
+    return _scale_small(t, qnr)
+
+
+def _f2_mul(L: int, pinv15: int, qnr: int, a, b, p):
+    """Karatsuba (a0 + a1 u)(b0 + b1 u), the QuadExt.mul_list recipe."""
+    a0, a1 = a
+    b0, b1 = b
+    mul = lambda x, y: _cios(L, pinv15, x, y, p)
+    add = lambda x, y: _partial_carry(x + y)
+    sub = lambda x, y: _partial_carry(x - y)
+    t0 = mul(a0, b0)
+    t1 = mul(a1, b1)
+    t2 = mul(add(a0, a1), add(b0, b1))
+    c0 = add(t0, _f2_mul_nr(qnr, t1))
+    c1 = sub(sub(t2, t0), t1)
+    return (c0, c1)
+
+
+def _f2_add(a, b):
+    return (_partial_carry(a[0] + b[0]), _partial_carry(a[1] + b[1]))
+
+
+def _f2_sub(a, b):
+    return (_partial_carry(a[0] - b[0]), _partial_carry(a[1] - b[1]))
+
+
+def _f2_neg(a):
+    return (_partial_carry(-a[0]), _partial_carry(-a[1]))
+
+
+def _f2_scale_small(a, k: int):
+    return (_scale_small(a[0], k), _scale_small(a[1], k))
+
+
+def _f2_sel(mask, a, b):
+    return (_sel(mask, a[0], b[0]), _sel(mask, a[1], b[1]))
+
+
+def _madd2(L: int, pinv15: int, qnr: int, acc, x2, y2, inf2, p, b3):
+    """Complete mixed addition over Fp2 (RCB15 algorithm 8, general b3 as
+    an Fp2 constant) — the Pallas mirror of ProjCurveOps.madd with
+    mul_b3 = f.mul(t, b3) (ops/curve.py:142-170, 57-63)."""
+    X1, Y1, Z1 = acc
+    mul = lambda a, b: _f2_mul(L, pinv15, qnr, a, b, p)
+    add = _f2_add
+    sub = _f2_sub
+
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    m3 = mul(add(x2, y2), add(X1, Y1))
+    m4 = mul(x2, Z1)
+    m5 = mul(y2, Z1)
+    t3 = sub(m3, add(t0, t1))
+    t4 = add(m4, X1)
+    t5 = add(m5, Y1)
+    X3 = _f2_scale_small(t0, 3)
+    t2 = mul(Z1, b3)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(t4, b3)
+    p0 = mul(t3, t1)
+    p1 = mul(t5, Y3)
+    p2 = mul(Y3, X3)
+    p3 = mul(t1, Z3)
+    p4 = mul(Z3, t5)
+    p5 = mul(X3, t3)
+    X3n = sub(p0, p1)
+    Y3n = add(p2, p3)
+    Z3n = add(p4, p5)
+    return (
+        _f2_sel(inf2, X1, X3n),
+        _f2_sel(inf2, Y1, Y3n),
+        _f2_sel(inf2, Z1, Z3n),
+    )
 
 
 def _block_scan_kernel(L: int, pinv15: int, b3: int, unroll: int,
