@@ -155,3 +155,63 @@ def test_block_madd_scan_bitexact(unroll):
         assert jnp.array_equal(X[:, i], acc[0]), f"X step {i}"
         assert jnp.array_equal(Y[:, i], acc[1]), f"Y step {i}"
         assert jnp.array_equal(Z[:, i], acc[2]), f"Z step {i}"
+
+
+@pytest.mark.parametrize("curve_name", ["BLS12_381", "BN128"])
+def test_block_madd_scan2_bitexact(curve_name):
+    """The Fp2 (G2) streamed running mixed-add kernel must be
+    bit-identical to the composed tower ops.madd / from_affine / select
+    scan, including sign, infinity and restart flags."""
+    import numpy as np
+    from zikkurat_algebra_tpu import params as P
+    from zikkurat_algebra_tpu.ops.curve import get_curves
+    from zikkurat_algebra_tpu.ops.pallas_curve import (
+        block_madd_scan2, SIGN_BIT, INF_BIT, NEW_BIT,
+    )
+    from zikkurat_algebra_tpu.ops.limbs15 import pack32
+
+    ck = get_curves(getattr(P, curve_name))
+    ops = ck.g2
+    f = ops.f                              # QuadExt (Fp2)
+    fb = f.base
+    m, B = 4, 64
+    r = random.Random(9)
+    vals = [(r.randrange(fb.p), r.randrange(fb.p)) for _ in range(2 * m * B)]
+    enc = ck.tower.encode_fp2(vals)        # (L, 2, 2*m*B)
+    enc = f.norm(enc).reshape(fb.L, 2, 2, m, B)
+    xs, ys = enc[:, :, 0], enc[:, :, 1]    # (L, 2, m, B) each
+    nbits = fb.p.bit_length()
+    pk_x = pack32(xs, nbits)               # (W32, 2, m, B)
+    pk_y = pack32(ys, nbits)
+    px0, px1 = (jnp.moveaxis(pk_x[:, c], 1, 0) for c in range(2))
+    py0, py1 = (jnp.moveaxis(pk_y[:, c], 1, 0) for c in range(2))
+    np_r = np.random.default_rng(17)
+    sg = np_r.integers(0, 2, (m, B)).astype(bool)
+    inf = np_r.integers(0, 5, (m, B)) == 0
+    new = np_r.integers(0, 3, (m, B)) == 0
+    new[0, :] = True
+    flg = (
+        np.where(sg, SIGN_BIT, 0)
+        | np.where(inf, INF_BIT, 0)
+        | np.where(new, NEW_BIT, 0)
+    ).astype(np.int32)
+
+    outs = block_madd_scan2(
+        px0, px1, py0, py1, jnp.asarray(flg), fb.L, fb.p_np, fb.pinv15,
+        f.qnr, ops.b3, fb.one_np, tile=B, unroll=4, interpret=True,
+    )
+    X = jnp.stack(outs[0:2], 1)            # (L, 2, m, B)
+    Y = jnp.stack(outs[2:4], 1)
+    Z = jnp.stack(outs[4:6], 1)
+
+    # XLA reference: same dataflow with the composed tower curve ops
+    sgj = jnp.asarray(sg)
+    acc = ops.infinity((B,))
+    for i in range(m):
+        y_eff = f.select(sgj[i], f.neg(ys[:, :, i]), ys[:, :, i])
+        pt = (xs[:, :, i], y_eff, jnp.asarray(inf[i]))
+        summed = ops.madd(acc, pt)
+        acc = ops.select(jnp.asarray(new[i]), ops.from_affine(pt), summed)
+        assert jnp.array_equal(X[:, :, i], acc[0]), f"X step {i}"
+        assert jnp.array_equal(Y[:, :, i], acc[1]), f"Y step {i}"
+        assert jnp.array_equal(Z[:, :, i], acc[2]), f"Z step {i}"

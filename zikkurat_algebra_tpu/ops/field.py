@@ -188,6 +188,10 @@ class Field:
                               # the 2^18 chunk shape)
     pallas_unroll_msm = 8     # block-positions per grid step (sublane
                               # multiple; ZIKKURAT_MSM_UNROLL to sweep)
+    use_msm_kernel_g2 = True  # Fp2 bucket kernel for G2 (kill switch)
+    pallas_tile_msm2 = 256    # lane tile of the G2 bucket kernel (the
+                              # Fp2 kernel's 6 output planes double the
+                              # VMEM block footprint of G1's 3)
     pallas_interpret = False  # CPU emulation of the kernels (tests only)
 
     def _mul_impl(self, a, b):

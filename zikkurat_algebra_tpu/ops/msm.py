@@ -342,14 +342,17 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
     arrays out — no unpacking pass and no output relayout (the kernel
     writes (L, m, B) which the scatter consumes directly).
 
-    px, py: (Rp, wc, n) PACKED sorted coordinate rows; flagrow (wc, n)
-    int32 with SIGN|INF bits (straight off the sort); seg_id (wc, n)
-    sorted digits.  Returns the (wc, nbuckets+1) bucket array tuple
-    (slot nbuckets = dump)."""
-    from .pallas_curve import block_madd_scan, NEW_BIT
+    px, py: (Rp, wc, n) PACKED sorted coordinate rows (for Fp2 coords the
+    rows interleave components (w, c) as built by pack32+reshape);
+    flagrow (wc, n) int32 with SIGN|INF bits (straight off the sort);
+    seg_id (wc, n) sorted digits.  Returns the (wc, nbuckets+1) bucket
+    array tuple (slot nbuckets = dump)."""
+    from .pallas_curve import block_madd_scan, block_madd_scan2, NEW_BIT
 
     f = ops.f
-    L = f.L
+    g2 = hasattr(f, "base")                    # QuadExt (Fp2) coords
+    fb = f.base if g2 else f
+    L = fb.L
     wc, n = seg_id.shape
     nblk = n // m
     B = wc * nblk
@@ -368,14 +371,32 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
         | jnp.where(new_m, NEW_BIT, 0).reshape(m, B)
     )
 
-    X, Y, Z = block_madd_scan(
-        stream(px), stream(py), flg, L, f.p_np, f.pinv15, ops.b3,
-        f.one_np, tile=f.pallas_tile_msm,
-        unroll=getattr(f, "pallas_unroll_msm", 8),
-        interpret=f.pallas_interpret,
-    )                                           # (L, m, B) running values
+    if g2:
+        W32 = px.shape[0] // 2
+        pxc = px.reshape(W32, 2, wc, n)
+        pyc = py.reshape(W32, 2, wc, n)
+        outs = block_madd_scan2(
+            stream(pxc[:, 0]), stream(pxc[:, 1]),
+            stream(pyc[:, 0]), stream(pyc[:, 1]),
+            flg, L, fb.p_np, fb.pinv15, f.qnr, ops.b3, fb.one_np,
+            tile=getattr(fb, "pallas_tile_msm2", 256),
+            unroll=getattr(fb, "pallas_unroll_msm", 8),
+            interpret=fb.pallas_interpret,
+        )                                      # six (L, m, B) planes
+        X = jnp.stack(outs[0:2], 1)            # (L, 2, m, B)
+        Y = jnp.stack(outs[2:4], 1)
+        Z = jnp.stack(outs[4:6], 1)
+    else:
+        X, Y, Z = block_madd_scan(
+            stream(px), stream(py), flg, L, f.p_np, f.pinv15, ops.b3,
+            f.one_np, tile=f.pallas_tile_msm,
+            unroll=getattr(f, "pallas_unroll_msm", 8),
+            interpret=f.pallas_interpret,
+        )                                      # (L, m, B) running values
 
-    S = tuple(o[:, -1].reshape(L, wc, nblk) for o in (X, Y, Z))
+    S = tuple(
+        o[..., -1, :].reshape(o.shape[:-2] + (wc, nblk)) for o in (X, Y, Z)
+    )
     C, cidx = _level2_carries(ops, d_blk, S, nbuckets)
 
     # stream-layout tail extraction + scatter (cf. the XLA path's): the
@@ -392,11 +413,11 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
     rows2 = jnp.arange(wc, dtype=jnp.int32)[:, None]
     binf = ops.infinity((wc, nbuckets + 1))
     buckets = tuple(
-        b.at[:, rows, idx].set(o.reshape(L, m, wc, nblk))
+        b.at[..., rows, idx].set(o.reshape(o.shape[:-2] + (m, wc, nblk)))
         for b, o in zip(binf, (X, Y, Z))
     )
     corr = tuple(
-        b.at[:, rows2, cidx].set(s) for b, s in zip(binf, C)
+        b.at[..., rows2, cidx].set(s) for b, s in zip(binf, C)
     )
     return ops.add(buckets, corr)
 
@@ -599,12 +620,20 @@ class MSM:
             else:
                 flag_sorted = srows[-1]
                 srows = srows[:-1]
+            fp2_coords = (
+                coord_shapes[0][1:-1] == (2,) and hasattr(ops.f, "qnr")
+            )
             use_kernel = (
                 block
-                and getattr(ops.f, "use_pallas", False)
-                and getattr(ops.f, "use_msm_kernel", True)
-                and ops.b3_small
-                and not coord_shapes[0][:-2]    # Fp coords only (G1)
+                and getattr(fb, "use_pallas", False)
+                and getattr(fb, "use_msm_kernel", True)
+                and (
+                    # G1: Fp coords, small-int b3
+                    (ops.b3_small and not coord_shapes[0][:-2])
+                    # G2: Fp2 coords, b3 an Fp2 Montgomery constant
+                    or (fp2_coords
+                        and getattr(fb, "use_msm_kernel_g2", True))
+                )
             )
             if use_kernel:
                 buckets = _buckets_pallas(

@@ -269,6 +269,121 @@ def _build_block_scan(L: int, Lp: int, pinv15: int, b3: int, m: int,
     )
 
 
+def _block_scan_kernel2(L: int, pinv15: int, qnr: int, unroll: int,
+                        x0_ref, x1_ref, y0_ref, y1_ref, flg_ref,
+                        p_ref, one_ref, b30_ref, b31_ref,
+                        ox0_ref, ox1_ref, oy0_ref, oy1_ref,
+                        oz0_ref, oz1_ref,
+                        ax0, ax1, ay0, ay1, az0, az1):
+    """Fp2 (G2) twin of _block_scan_kernel: same streaming/restart
+    machinery, accumulator and point coordinates are PAIRS of (L, T)
+    tiles, every group-add multiply a 3-CIOS Karatsuba."""
+    i = pl.program_id(1)
+    p = p_ref[:, :]
+    onem = one_ref[:, :]
+    b3 = (b30_ref[:, :], b31_ref[:, :])
+    T = p.shape[1]
+    zero = jnp.zeros((L, T), I32)
+    zero2 = (zero, zero)
+    one2 = (onem, zero)                    # Fp2 Montgomery one = (1, 0)
+
+    acc = ((ax0[:, :], ax1[:, :]), (ay0[:, :], ay1[:, :]),
+           (az0[:, :], az1[:, :]))
+    for u in range(unroll):
+        x = (_unpack(x0_ref[u], L), _unpack(x1_ref[u], L))
+        y = (_unpack(y0_ref[u], L), _unpack(y1_ref[u], L))
+        flg = flg_ref[u]                   # (1, T) int32 bitmask
+        sgn = (flg & SIGN_BIT) != 0
+        inf = (flg & INF_BIT) != 0
+        new = (flg & NEW_BIT) != 0
+
+        y = _f2_sel(sgn, _f2_neg(y), y)
+
+        # from_affine(pt): inf -> (0, 1_mont, 0); else (x, y, 1_mont)
+        fx = _f2_sel(inf, zero2, x)
+        fy = _f2_sel(inf, one2, y)
+        fz = _f2_sel(inf, zero2, one2)
+
+        sx, sy, sz = _madd2(L, pinv15, qnr, acc, x, y, inf, p, b3)
+        restart = new
+        if u == 0:
+            restart = jnp.logical_or(new, i == 0)
+        acc = (
+            _f2_sel(restart, fx, sx),
+            _f2_sel(restart, fy, sy),
+            _f2_sel(restart, fz, sz),
+        )
+        ox0_ref[:, u] = acc[0][0]
+        ox1_ref[:, u] = acc[0][1]
+        oy0_ref[:, u] = acc[1][0]
+        oy1_ref[:, u] = acc[1][1]
+        oz0_ref[:, u] = acc[2][0]
+        oz1_ref[:, u] = acc[2][1]
+    ax0[:, :], ax1[:, :] = acc[0]
+    ay0[:, :], ay1[:, :] = acc[1]
+    az0[:, :], az1[:, :] = acc[2]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_block_scan2(L: int, Lp: int, pinv15: int, qnr: int, m: int,
+                       nb: int, tile: int, unroll: int, interpret: bool):
+    kernel = functools.partial(_block_scan_kernel2, L, pinv15, qnr, unroll)
+    grid = (nb // tile, m // unroll)
+    inspec = pl.BlockSpec((unroll, Lp, tile), lambda j, i: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((unroll, 1, tile), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, tile), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, unroll, tile), lambda j, i: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((L, m, nb), I32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shp,) * 6,
+        grid=grid,
+        in_specs=[inspec] * 4 + [fspec] + [cspec] * 4,
+        out_specs=(ospec,) * 6,
+        scratch_shapes=[pltpu.VMEM((L, tile), I32)] * 6,
+        interpret=interpret,
+    )
+
+
+def block_madd_scan2(px0, px1, py0, py1, flg: jax.Array,
+                     L: int, p_np, pinv15: int, qnr: int, b3,
+                     one_np, tile: int = 256, unroll: int = 8,
+                     interpret: bool = False):
+    """Fp2 masked running mixed-add scan (G2 twin of block_madd_scan).
+
+    px0, px1, py0, py1: (m, W32, B) PACKED canonical affine coordinate
+    component rows in block-stream layout; flg: (m, B) int32 bitmask;
+    b3: (L, 2) Montgomery-encoded Fp2 curve constant 3*b.  Returns the
+    running projective values as six (L, m, B) planes
+    (X0, X1, Y0, Y1, Z0, Z1)."""
+    m, Lp, B = px0.shape
+    while m % unroll:
+        unroll //= 2
+    pad = (-B) % tile
+    if pad:
+        padf = jnp.full((m, pad), NEW_BIT | INF_BIT, I32)
+        px0, px1, py0, py1 = (
+            jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+            for a in (px0, px1, py0, py1)
+        )
+        flg = jnp.concatenate([flg, padf], 1)
+    nb = B + pad
+    pb = jnp.broadcast_to(jnp.asarray(p_np)[:, None], (L, tile))
+    oneb = jnp.broadcast_to(jnp.asarray(one_np)[:, None], (L, tile))
+    b30 = jnp.broadcast_to(b3[:, 0][:, None], (L, tile))
+    b31 = jnp.broadcast_to(b3[:, 1][:, None], (L, tile))
+    call = _build_block_scan2(L, Lp, pinv15, qnr, m, nb, tile, unroll,
+                              interpret)
+    outs = call(px0, px1, py0, py1, flg[:, None, :], pb, oneb, b30, b31)
+    if pad:
+        outs = tuple(o[..., :B] for o in outs)
+    return outs
+
+
 def block_madd_scan(px: jax.Array, py: jax.Array, flg: jax.Array,
                     L: int, p_np, pinv15: int, b3: int, one_np,
                     tile: int = 256, unroll: int = 8,

@@ -272,6 +272,9 @@ class TowerKernels:
             # u^2 = qnr (small): carry-free limb scaling
             mul_u2 = lambda a: self.fp.scale_small(a, qnr)
         self.fp2 = QuadExt(self.fp, mul_u2, name="Fp2")
+        # the G2 Pallas bucket kernel (ops/pallas_curve.py) needs the
+        # nonresidue as a static int to mirror mul_u2 in-kernel
+        self.fp2.qnr = qnr
 
         xi0, xi1 = curve.tower.xi0, curve.tower.xi1
 
