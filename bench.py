@@ -234,6 +234,9 @@ def main():
     ss = os.environ.get("ZIKKURAT_PACKED_FLAGS")
     if ss is not None:
         Field.use_packed_flags = ss not in ("0", "")
+    ss = os.environ.get("ZIKKURAT_HOISTED_WSUM")
+    if ss is not None:
+        Field.use_hoisted_wsum = ss not in ("0", "")
     if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
         Field.use_serial_wsum = False
     if os.environ.get("ZIKKURAT_SERIAL_WSUM"):

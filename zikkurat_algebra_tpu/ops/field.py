@@ -163,6 +163,13 @@ class Field:
     # Fp2 steps are while-overhead-bound (40.7k vs 70.3k pts/s at 2^16).
     # True/False force one form (ZIKKURAT_LOGDEPTH_WSUM=1 forces False).
     use_serial_wsum = "auto"
+    # Run ONE weighted bucket sum over ALL windows (stacked across the
+    # chunk scan) instead of one per window chunk: the serial scan-step
+    # count of the weighted sum drops by the chunk count (5x at the
+    # 2^20 headline shape) while each step processes W-way batches on
+    # the VPU lanes; costs the materialized (W, 2^(c-1)) bucket planes
+    # (~100 MB at 2^20/c=15).  ZIKKURAT_HOISTED_WSUM=0/1 forces.
+    use_hoisted_wsum = True
     # Drop the iota tie-break operand from every grouped MSM sort and rely
     # on is_stable=True instead: stability guarantees all groups (sharing
     # the identical key row) apply the IDENTICAL permutation, which is the
