@@ -93,7 +93,12 @@ def _run_with_deadline(args) -> int:
     the persistent cache so the NEXT run is fast."""
     import tempfile
 
-    budget = float(os.environ.get("ZIKKURAT_BENCH_BUDGET", "900"))
+    # 700 s: the round-1 driver run finished OK at ~710 s wall, so the
+    # driver's own timeout is >~720 s; emitting the fallback at 700 s
+    # leaves time for the CPU smoke metric before any plausible driver
+    # deadline (the round-2 recorded run was killed rc=124 with NOTHING
+    # printed — never risk that again)
+    budget = float(os.environ.get("ZIKKURAT_BENCH_BUDGET", "700"))
     outf = tempfile.NamedTemporaryFile(
         mode="w+", suffix=".bench.out", delete=False
     )

@@ -21,9 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the limb-plane kernels compose into large XLA
 # programs; caching makes repeated test runs start fast.
 if not os.environ.get("ZIKKURAT_NO_CACHE"):
-    os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from zikkurat_algebra_tpu.utils.cache import setup_cache
+
+    setup_cache(jax)
 
 import random
 

@@ -128,6 +128,36 @@ def test_msm_pallas_bucket_path(rng):
     assert got == want
 
 
+def test_msm_legacy_per_chunk_wsum(rng, ck):
+    """The legacy per-chunk weighted-sum path (use_hoisted_wsum=False)
+    is kept as a bench A/B knob; it must stay bit-exact vs the oracle.
+    A fresh jit trace is taken via __wrapped__ because the jit_method
+    cache keys on id(self) and would replay the default-flag trace."""
+    import jax
+
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    f = ck.g1.f
+    n = 37
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[4] = None
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    ks[6] = 0
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    old = f.use_hoisted_wsum
+    try:
+        type(f).use_hoisted_wsum = False
+        res = jax.jit(
+            msm.msm_std.__wrapped__, static_argnums=(0, 3, 4, 5)
+        )(msm, k_limbs, A, 5, 2, 8)
+    finally:
+        type(f).use_hoisted_wsum = old
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want
+
+
 def test_window_size_heuristic():
     # c = round(log2 N - 3.5) (bn128_G1_jac.c:648-650), upper clamp 15
     # (measured: c=15 beats c=16 at 2^20, 352.2k vs 336.3k pts/s)

@@ -278,3 +278,16 @@ def test_kzg_roundtrip(rng):
     assert y0 == poly.eval_at(x0)
     assert kzg.verify_proof(setup, com, proof, x0, y0)
     assert not kzg.verify_proof(setup, com, proof, x0, (y0 + 1) % r)
+
+
+def test_jacobi_symbol():
+    """oracle.field.jacobi vs the reference's pinned Mathematica sums
+    (pure/src/ZK/Algebra/Pure/Jacobi.hs test block) + Euler criterion."""
+    from zikkurat_algebra_tpu.oracle.field import jacobi
+
+    assert sum((3 + 5 * n + 17 * k) * (3 + jacobi(n, k))
+               for n in range(-100, 101) for k in range(1, 101, 2)) == 26191168
+    p = 10007
+    for a in range(1, 50):
+        assert jacobi(a, p) == (1 if pow(a, (p - 1) // 2, p) == 1 else -1)
+    assert jacobi(p, p) == 0

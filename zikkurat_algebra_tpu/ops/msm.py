@@ -467,7 +467,11 @@ class MSM:
             # (~3 * L * 2 * wc * n * 4B) + scan temporaries stay well
             # under HBM (signed digits halved the bucket arrays, which
             # bought wc=4 at 2^20: measured 156.8k vs 126.4k points/s
-            # at wc=2)
+            # at wc=2).  NOTE the hoisted weighted sum (the default)
+            # additionally stacks (nchunks, L.., wc, B) bucket planes
+            # across the chunk scan — ~100 MB at 2^20/c=15, growing as
+            # 2^(c-1); still far under the 16 GB HBM at every supported
+            # shape (c is clamped to 15), so the cap formula stands.
             window_chunk = max(1, min(8, (1 << 22) // max(n, 1)))
         wc = min(window_chunk, W)
         nchunks = -(-W // wc)
@@ -699,7 +703,10 @@ class MSM:
                 return None, buckets
             return None, _weighted_bucket_sum(ops, buckets)
 
-        _, Ws = lax.scan(per_chunk, None, digits)   # leaves (nchunks, L.., wc)
+        # scan leaves: (nchunks, L.., wc) window points on the legacy
+        # per-chunk path, (nchunks, L.., wc, B) full bucket planes when
+        # the weighted sum is hoisted (the default)
+        _, Ws = lax.scan(per_chunk, None, digits)
 
         if hoisted:
             # HOISTED weighted bucket sum: the per-chunk scan emits raw

@@ -143,3 +143,23 @@ def batch_inv(field: Fp, xs: Sequence[int]) -> List[int]:
             out[i] = (inv_acc * prefix[i]) % field.p
             inv_acc = (inv_acc * xs[i]) % field.p
     return out
+
+
+def jacobi(n: int, k: int) -> int:
+    """Jacobi symbol (n|k) for odd positive k — the generalized Legendre
+    symbol (cf. the reference's pure/src/ZK/Algebra/Pure/Jacobi.hs).
+    Binary algorithm via quadratic reciprocity; returns -1/0/1."""
+    if k <= 0 or k % 2 == 0:
+        raise ValueError("jacobi (n|k): k must be odd and positive")
+    n %= k
+    t = 1
+    while n:
+        while n % 2 == 0:
+            n //= 2
+            if k % 8 in (3, 5):
+                t = -t
+        n, k = k, n
+        if n % 4 == 3 and k % 4 == 3:
+            t = -t
+        n %= k
+    return t if k == 1 else 0

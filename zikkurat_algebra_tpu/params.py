@@ -325,6 +325,75 @@ TEST_PRIMES = {
     "P255+": FieldParams(name="test/2^255+95", p=2**255 + 95, multiplicative_gen=3),
 }
 
+# ---------------------------------------------------------------------------
+# Standard-curve prime database, the analog of the reference pure
+# library's curve DB (pure/src/ZK/Algebra/Pure/Curve/SomeCurves.hs:61-103
+# `curvePrimes`): (base field prime, scalar field prime) per curve.  The
+# reference carries these as a lookup table for its generic pure fields;
+# here any entry instantiates a full device `Field` (the limb core is
+# width-generic), covered by tests/test_curve_db.py.  Scalar fields of
+# the cofactor curves (JubJub/Bandersnatch/BabyJubJub/Curve25519) are the
+# subgroup orders, as in the reference.
+# ---------------------------------------------------------------------------
+
+CURVE_DB = {
+    "BN254": (
+        21888242871839275222246405745257275088696311157297823662689037894645226208583,
+        21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    ),
+    "BLS12-381": (BLS12_381_FP.p, BLS12_381_FR.p),
+    "BLS12-377": (BLS12_377_FP.p, BLS12_377_FR.p),
+    "JubJub": (
+        BLS12_381_FR.p,
+        0xE7DB4EA6533AFA906673B0101343B00A6682093CCC81082D0970E5ED6F72CB7,
+    ),
+    "Bandersnatch": (
+        BLS12_381_FR.p,
+        0x1CFB69D4CA675F520CCE760202687600FF8F87007419047174FD06B52876E7E1,
+    ),
+    "BabyJubJub": (
+        21888242871839275222246405745257275088548364400416034343698204186575808495617,
+        2736030358979909402780800718157159386076813972158567259200215660948447373041,
+    ),
+    "Pallas": (
+        0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001,
+        0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001,
+    ),
+    "Secp256k1": (
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F,
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
+    ),
+    "Curve25519": (
+        2**255 - 19,
+        7237005577332262213973186563042994240857116359379907606001950938285454250989,
+    ),
+}
+# field-swapped partner curves (SomeCurves.hs:100-103)
+CURVE_DB["Vesta"] = (CURVE_DB["Pallas"][1], CURVE_DB["Pallas"][0])
+CURVE_DB["Grumpkin"] = (CURVE_DB["BN254"][1], CURVE_DB["BN254"][0])
+CURVE_DB["Secq256k1"] = (CURVE_DB["Secp256k1"][1], CURVE_DB["Secp256k1"][0])
+
+
+def smallest_nonresidue(p: int) -> int:
+    """Smallest quadratic non-residue of p (what `multiplicative_gen`
+    is actually used for on device: seeding Tonelli-Shanks)."""
+    g = 2
+    while pow(g, (p - 1) // 2, p) == 1:
+        g += 1
+    return g
+
+
+def curve_db_field(curve: str, which: str = "scalar") -> FieldParams:
+    """FieldParams for a standard curve's base or scalar prime field
+    (the device analog of the reference's `curvePrimes` lookup)."""
+    base_p, scalar_p = CURVE_DB[curve]
+    p = scalar_p if which == "scalar" else base_p
+    return FieldParams(
+        name=f"{curve}/{'Fr' if which == 'scalar' else 'Fp'}",
+        p=p, multiplicative_gen=smallest_nonresidue(p),
+    )
+
+
 CURVES = {"BN128": BN128, "BLS12-381": BLS12_381, "BLS12-377": BLS12_377}
 FIELDS = {
     "BN128/Fp": BN128_FP,
