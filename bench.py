@@ -242,6 +242,9 @@ def main():
     ss = os.environ.get("ZIKKURAT_HOISTED_WSUM")
     if ss is not None:
         Field.use_hoisted_wsum = ss not in ("0", "")
+    ss = os.environ.get("ZIKKURAT_SORT_SHARD")
+    if ss is not None:
+        Field.msm_sort_shard_log2 = int(ss)
     if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
         Field.use_serial_wsum = False
     if os.environ.get("ZIKKURAT_SERIAL_WSUM"):

@@ -187,3 +187,34 @@ def test_blocked_segment_reduce_cross_block(rng, ck):
     res2 = msm.msm_std(k_limbs, A, 2, 4, 0)
     got2 = ck.decode_g1(ck.g1.to_affine(res2))
     assert got2 == want
+
+def test_msm_sharded_sort_path(rng, ck):
+    """The sharded grouping sort (Field.msm_sort_shard_log2): each
+    window's digit sort runs over independent shards and the per-shard
+    bucket arrays are group-added in finish() — must stay bit-exact vs
+    the oracle, including infinities, zero scalars, and a point whose
+    digit collides across shards (the cross-shard merge case)."""
+    import jax
+
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    f = ck.g1.f
+    n = 96
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[4] = None
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    ks[6] = 0
+    ks[40] = ks[10]                       # same digits in two shards
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    old = f.msm_sort_shard_log2
+    try:
+        type(f).msm_sort_shard_log2 = 5   # shards of 32 -> nshards=3
+        res = jax.jit(
+            msm.msm_std.__wrapped__, static_argnums=(0, 3, 4, 5)
+        )(msm, k_limbs, A, 5, 2, 8)
+    finally:
+        type(f).msm_sort_shard_log2 = old
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want

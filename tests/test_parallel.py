@@ -123,3 +123,32 @@ def test_sharded_div_by_vanishing(rng, mesh, n_van):
     for i, c in enumerate(rv):
         recon[i] = (recon[i] + c) % f.p
     assert recon == [v % f.p for v in av]
+
+
+def test_sharded_group_fft_matches_single_device(rng, mesh):
+    """Four-step curve FFT over the 8-device mesh == single-chip
+    GroupFFT == oracle semantics, forward and inverse roundtrip
+    (parallel/gfft.py; cf. fft_forward, bn128_G1_jac.c:727+)."""
+    from zikkurat_algebra_tpu.ops.gfft import get_group_fft
+    from zikkurat_algebra_tpu.parallel.gfft import ShardedGroupFFT
+
+    ck = get_curves(P.BN128)
+    og = ck.oracle_g1
+    gops = ck.g1
+    m = 6
+    n = 1 << m
+    pts = [og.scalar_mul(rng.randrange(1, og.r), og.gen) for _ in range(n)]
+    pts[3] = None                          # infinity input
+    Pa = gops.from_affine(ck.encode_g1(pts))
+    single = get_group_fft(gops, P.BN128_FR, m)
+    want = ck.decode_g1(gops.to_affine(single.fft(Pa)))
+    sg = ShardedGroupFFT(gops, P.BN128_FR, m, mesh)
+    Psh = tuple(shard_batch(mesh, x) for x in Pa)
+    got = ck.decode_g1(gops.to_affine(sg.fft(Psh)))
+    assert got == want
+    # inverse roundtrip: ifft(fft(P)) == P
+    back = ck.decode_g1(
+        gops.to_affine(sg.ifft(tuple(shard_batch(mesh, x)
+                                     for x in single.fft(Pa))))
+    )
+    assert back == ck.decode_g1(gops.to_affine(Pa))

@@ -244,3 +244,41 @@ def test_ntt_radix4_differential(rng):
         got = f.decode(dom.ntt(f.encode(xs)))
         assert got == oracle_ntt(f.p, subgroup_gen(P.BLS12_381.fr, m), xs)
         assert f.decode(dom.intt(dom.ntt(f.encode(xs)))) == xs
+
+
+def test_poly_surface_parity(rng, fr):
+    """get_coeff / is_constant / lincomb / quot / rem — the remaining
+    bn128_poly_mont.h surface (reference parity polish), differentially
+    vs python-int polynomial arithmetic."""
+    f, o = fr
+    po = PolyOps(f)
+    av = [rng.randrange(o.p) for _ in range(9)]
+    bv = [rng.randrange(o.p) for _ in range(4)]
+    bv[-1] = bv[-1] or 1
+    a, b = f.encode(av), f.encode(bv)
+    # get_coeff (incl. beyond stored length)
+    assert f.decode(po.get_coeff(a, 3)) == av[3]
+    assert f.decode(po.get_coeff(a, 99)) == 0
+    # is_constant
+    assert not bool(po.is_constant(a))
+    assert bool(po.is_constant(f.encode([5])))
+    assert bool(po.is_constant(f.encode([5, 0, 0])))
+    # lincomb over different lengths
+    c1, c2 = rng.randrange(o.p), rng.randrange(o.p)
+    got = f.decode(po.lincomb([f.encode(c1), f.encode(c2)], [a, b]))
+    want = [
+        (c1 * (av[i] if i < len(av) else 0)
+         + c2 * (bv[i] if i < len(bv) else 0)) % o.p
+        for i in range(9)
+    ]
+    assert got == want
+    # quot / rem agree with long_div and reconstruct the dividend
+    q = f.decode(po.quot(a, b))
+    r = f.decode(po.rem(a, b))
+    recon = [0] * 9
+    for i, qc in enumerate(q):
+        for j, bc in enumerate(bv):
+            recon[i + j] = (recon[i + j] + qc * bc) % o.p
+    for i, rc in enumerate(r):
+        recon[i] = (recon[i] + rc) % o.p
+    assert recon == av

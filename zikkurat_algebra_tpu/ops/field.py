@@ -170,6 +170,14 @@ class Field:
     # the VPU lanes; costs the materialized (W, 2^(c-1)) bucket planes
     # (~100 MB at 2^20/c=15).  ZIKKURAT_HOISTED_WSUM=0/1 forces.
     use_hoisted_wsum = True
+    # MSM sharded grouping sort: log2 of the shard SIZE each window's
+    # digit sort runs over (the pipeline only needs equal digits
+    # CONTIGUOUS, so independent shard-local sorts + a cross-shard
+    # group-add of bucket arrays is a valid grouping at fewer bitonic
+    # passes).  0 disables, "auto" picks per measurement (currently 0
+    # until the hardware A/B lands — measure-then-flip).
+    # ZIKKURAT_SORT_SHARD forces a log2 (or 0 to disable).
+    msm_sort_shard_log2 = 0
     # Drop the iota tie-break operand from every grouped MSM sort and rely
     # on is_stable=True instead: stability guarantees all groups (sharing
     # the identical key row) apply the IDENTICAL permutation, which is the

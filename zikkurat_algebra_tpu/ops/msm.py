@@ -493,6 +493,25 @@ class MSM:
             ainf = jnp.pad(ainf, ((0, padn),), constant_values=True)
             n = n + padn
 
+        # SHARDED grouping sort: the bucket pipeline needs digits GROUPED
+        # (equal digits contiguous), not globally sorted — XLA:TPU's sort
+        # is a bitonic network with ~k(k+1)/2 passes over every payload
+        # operand (k = log2 n), so sorting S independent shards of n/S
+        # elements cuts the pass count (k' = k - log2 S) while remaining
+        # a valid grouping.  Each shard scatters into its own bucket
+        # array; shards are then group-added (B*log2 S extra adds per
+        # window, a few % of the level-1 madd work).  msm_sort_shard_log2
+        # sets the shard SIZE; 0 disables.
+        shard_l2 = getattr(ops.f, "msm_sort_shard_log2", "auto")
+        if shard_l2 == "auto":
+            shard_l2 = 16
+        sh = (1 << shard_l2) if shard_l2 else 0
+        nshards = 1
+        if (sh and n > sh and n % sh == 0
+                and (not block or sh % block == 0)
+                and not getattr(ops.f, "use_sort_kernel", False)):
+            nshards = n // sh
+
         # canonicalize the AFFINE coords (inputs may be lazy-band, e.g.
         # straight from to_affine), then pack into DENSE radix-2^32 rows
         # (limbs15.pack32): only x and y ride the sort network (the third
@@ -531,6 +550,26 @@ class MSM:
             ((1 << 32) - 1) ^ (3 << flag_shift)
         )))
 
+        def finish(buckets):
+            """Drop bucket 0 + dump slot, merge sort shards (group add
+            across the shard axis), then either emit raw bucket planes
+            (hoisted weighted sum) or this chunk's window points."""
+            buckets = tuple(b[..., 1:nbuckets] for b in buckets)
+            if nshards > 1:
+                buckets = tuple(
+                    jnp.moveaxis(
+                        b.reshape(
+                            b.shape[:-2] + (wc, nshards, b.shape[-1])
+                        ),
+                        -2, -1,
+                    )
+                    for b in buckets
+                )
+                buckets = _tree_reduce(ops, buckets)
+            if hoisted:
+                return None, buckets
+            return None, _weighted_bucket_sum(ops, buckets)
+
         def per_chunk(_, digit):
             # digit: (wc, N) SIGNED.  Sort points by |digit| per window
             # WITHOUT a gather: TPUs have no hardware gather (jnp.take
@@ -556,6 +595,15 @@ class MSM:
                     jnp.broadcast_to(packed[i], (wc, n))
                     for i in range(packed.shape[0])
                 ] + [flagrow]
+            # shard split: each (wc, n) plane becomes (wc*S, n/S); every
+            # downstream stage (sort, level-1 kernel, level-2 carries,
+            # scatter) is batch-parallel over the leading axis, so the
+            # shards flow through unchanged until finish() re-merges them
+            wcl, nl = wc, n
+            if nshards > 1:
+                wcl, nl = wc * nshards, n // nshards
+                ad = ad.reshape(wcl, nl)
+                rows_all = [r.reshape(wcl, nl) for r in rows_all]
             if (getattr(ops.f, "use_pallas", False)
                     and getattr(ops.f, "use_sort_kernel", False)
                     and n & (n - 1) == 0 and n >= 2048):
@@ -585,7 +633,7 @@ class MSM:
                 stable = getattr(ops.f, "use_stable_sort", False)
                 if not stable:
                     iota = jnp.broadcast_to(
-                        jnp.arange(n, dtype=jnp.int32)[None], (wc, n)
+                        jnp.arange(nl, dtype=jnp.int32)[None], (wcl, nl)
                     )
                 GROUP = 13
                 srows = []
@@ -650,10 +698,7 @@ class MSM:
                     flag_sorted,
                     d_sorted, block, nbuckets,
                 )
-                buckets = tuple(b[..., 1:nbuckets] for b in buckets)
-                if hoisted:
-                    return None, buckets
-                return None, _weighted_bucket_sum(ops, buckets)
+                return finish(buckets)
             sg_sorted = (flag_sorted & 1) == 1              # (wc, n)
             inf_sorted = (flag_sorted & 2) == 2             # (wc, n)
             from .limbs15 import unpack32
@@ -661,10 +706,10 @@ class MSM:
             Ps = []
             off = 0
             for shp, rc in zip(coord_shapes, row_counts):
-                blk = jnp.stack(srows[off:off + rc])        # (rc, wc, n)
-                comps = blk.reshape((W32, rc // W32, wc, n))
-                planes = unpack32(comps, shp[0])            # (L, S, wc, n)
-                Ps.append(planes.reshape(shp[:-1] + (wc, n)))
+                blk = jnp.stack(srows[off:off + rc])        # (rc, wcl, nl)
+                comps = blk.reshape((W32, rc // W32, wcl, nl))
+                planes = unpack32(comps, shp[0])            # (L, S, wcl, nl)
+                Ps.append(planes.reshape(shp[:-1] + (wcl, nl)))
                 off += rc
             # negative digit => use -P (negate y)
             y = Ps[1]
@@ -673,13 +718,13 @@ class MSM:
                 ops.f.select(sg_sorted, ops.f.neg(y), y),
                 inf_sorted,
             )
-            rows = jnp.arange(wc, dtype=jnp.int32)[:, None]
-            binf = ops.infinity((wc, nbuckets + 1))
+            rows = jnp.arange(wcl, dtype=jnp.int32)[:, None]
+            binf = ops.infinity((wcl, nbuckets + 1))
             if block:
                 scanned, tail, C, cidx = _segment_reduce_blocked(
                     ops, aff, d_sorted, block, nbuckets
                 )
-                idx = jnp.where(tail, d_sorted, nbuckets)   # (wc, N)
+                idx = jnp.where(tail, d_sorted, nbuckets)   # (wcl, N)
                 buckets = tuple(
                     b.at[..., rows, idx].set(s)
                     for b, s in zip(binf, scanned)
@@ -693,15 +738,12 @@ class MSM:
                 scanned, tail = _segment_scan_tails(
                     ops, ops.from_affine(aff), d_sorted
                 )
-                idx = jnp.where(tail, d_sorted, nbuckets)   # (wc, N)
+                idx = jnp.where(tail, d_sorted, nbuckets)   # (wcl, N)
                 buckets = tuple(
                     b.at[..., rows, idx].set(s)
                     for b, s in zip(binf, scanned)
                 )
-            buckets = tuple(b[..., 1:nbuckets] for b in buckets)
-            if hoisted:
-                return None, buckets
-            return None, _weighted_bucket_sum(ops, buckets)
+            return finish(buckets)
 
         # scan leaves: (nchunks, L.., wc) window points on the legacy
         # per-chunk path, (nchunks, L.., wc, B) full bucket planes when

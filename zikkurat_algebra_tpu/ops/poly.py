@@ -53,6 +53,37 @@ class PolyOps:
         n = max(a.shape[-1], b.shape[-1])
         return jnp.all(self.f.eq(self.pad_to(a, n), self.pad_to(b, n)), axis=-1)
 
+    def get_coeff(self, a: jax.Array, k: int) -> jax.Array:
+        """Coefficient k as a field element; 0 beyond the stored length
+        (cf. `get_coeff`, bn128_poly_mont.h)."""
+        if k < 0 or k >= a.shape[-1]:
+            return self.f.zero(a.shape[self.f.struct_ndim:-1])
+        return a[..., k]
+
+    def is_constant(self, a) -> jax.Array:
+        """True iff degree <= 0 (cf. `is_constant`, bn128_poly_mont.h —
+        the constant itself is `get_coeff(a, 0)`)."""
+        return jnp.all(self.f.is_zero(a[..., 1:]), axis=-1)
+
+    @jit_method
+    def lincomb(self, coeffs, polys):
+        """sum_i coeffs[i] * polys[i] over K polynomials of (possibly)
+        different stored lengths (cf. `lincomb`, bn128_poly_mont.h)."""
+        n = max(p.shape[-1] for p in polys)
+        acc = None
+        for s, p in zip(coeffs, polys):
+            t = self.scale(s, self.pad_to(p, n))
+            acc = t if acc is None else self.f.add(acc, t)
+        return acc
+
+    def quot(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Euclidean quotient only (cf. `quot`, bn128_poly_mont.h)."""
+        return self.long_div(a, b)[0]
+
+    def rem(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Euclidean remainder only (cf. `rem`, bn128_poly_mont.h)."""
+        return self.long_div(a, b)[1]
+
     def pad_to(self, a: jax.Array, n: int) -> jax.Array:
         if a.shape[-1] == n:
             return a
