@@ -85,7 +85,10 @@ def main():
         srows = []
         d_sorted = None
         for off in range(0, len(rows_all), GROUP):
-            out = lax.sort([ad] + rows_all[off:off + GROUP],
+            # barrier the key past group 0: XLA otherwise merges the
+            # same-key sorts into one 26-operand scoped-VMEM bomb
+            key = ad if off == 0 else lax.optimization_barrier(ad)
+            out = lax.sort([key] + rows_all[off:off + GROUP],
                            dimension=1, num_keys=1, is_stable=True)
             if d_sorted is None:
                 d_sorted = out[0]

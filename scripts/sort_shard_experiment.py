@@ -54,7 +54,10 @@ def main():
             rs = [r.reshape(wc * shards, ns) for r in rows]
             out_rows = []
             for off in range(0, NROWS, GROUP):
-                out = lax.sort([a] + rs[off:off + GROUP], dimension=1,
+                # barrier the key past group 0: XLA otherwise merges the
+                # same-key sorts into one 26-operand scoped-VMEM bomb
+                key = a if off == 0 else lax.optimization_barrier(a)
+                out = lax.sort([key] + rs[off:off + GROUP], dimension=1,
                                num_keys=1, is_stable=True)
                 out_rows += list(out[1:])
             return out[0], out_rows

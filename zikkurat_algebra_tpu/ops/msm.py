@@ -639,15 +639,28 @@ class MSM:
                 srows = []
                 d_sorted = None
                 for off in range(0, len(rows_all), GROUP):
+                    # each group past the first sorts an
+                    # optimization_barrier'd COPY of the key: XLA's sort
+                    # simplifier otherwise MERGES same-key sorts back
+                    # into the single >=26-operand variadic sort this
+                    # grouping exists to avoid (observed on the 2026-08
+                    # toolchain: the merged sort blows the 16M scoped
+                    # VMEM limit at (4, 2^20) and the compile dies after
+                    # ~55 min — the round-2 compiler-killer resurrected
+                    # by the compiler itself).  The barrier is free at
+                    # runtime; stability keeps the permutations equal.
+                    key = ad if off == 0 else lax.optimization_barrier(ad)
                     if stable:
                         out = lax.sort(
-                            [ad] + rows_all[off:off + GROUP],
+                            [key] + rows_all[off:off + GROUP],
                             dimension=1, num_keys=1, is_stable=True,
                         )
                         grp = out[1:]
                     else:
+                        key2 = (iota if off == 0
+                                else lax.optimization_barrier(iota))
                         out = lax.sort(
-                            [ad, iota] + rows_all[off:off + GROUP],
+                            [key, key2] + rows_all[off:off + GROUP],
                             dimension=1, num_keys=2,
                         )
                         grp = out[2:]
