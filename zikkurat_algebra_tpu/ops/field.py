@@ -173,10 +173,13 @@ class Field:
     # MSM sharded grouping sort: log2 of the shard SIZE each window's
     # digit sort runs over (the pipeline only needs equal digits
     # CONTIGUOUS, so independent shard-local sorts + a cross-shard
-    # group-add of bucket arrays is a valid grouping at fewer bitonic
-    # passes).  0 disables, "auto" picks per measurement (currently 0
-    # until the hardware A/B lands — measure-then-flip).
-    # ZIKKURAT_SORT_SHARD forces a log2 (or 0 to disable).
+    # group-add of bucket arrays is a valid grouping).  MEASURED A
+    # LARGE NEGATIVE on v5e at 2^20 (wave-2 A/B: shards of 2^16 ->
+    # 86.9k pts/s, 2^15 -> 74.0k, vs 364.0k unsharded): XLA:TPU's sort
+    # gets SLOWER, not faster, as the sorted rows get shorter and more
+    # numerous — its cost is not bitonic-pass-bound.  Kept as a
+    # correctness-tested knob for future toolchains; 0 (off) is the
+    # measured default.  ZIKKURAT_SORT_SHARD forces a log2.
     msm_sort_shard_log2 = 0
     # Drop the iota tie-break operand from every grouped MSM sort and rely
     # on is_stable=True instead: stability guarantees all groups (sharing
