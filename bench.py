@@ -245,6 +245,9 @@ def main():
     ss = os.environ.get("ZIKKURAT_SORT_SHARD")
     if ss is not None:
         Field.msm_sort_shard_log2 = int(ss)
+    ss = os.environ.get("ZIKKURAT_MERGE_SORT")
+    if ss is not None:
+        Field.msm_sort_merge_windows = ss not in ("0", "")
     if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
         Field.use_serial_wsum = False
     if os.environ.get("ZIKKURAT_SERIAL_WSUM"):

@@ -218,3 +218,32 @@ def test_msm_sharded_sort_path(rng, ck):
         type(f).msm_sort_shard_log2 = old
     got = ck.decode_g1(ck.g1.to_affine(res))
     assert got == want
+
+def test_msm_merged_window_sort_path(rng, ck):
+    """The window-merged sort (Field.msm_sort_merge_windows): all wc
+    windows ride ONE sort row under a composite (window | digit) key;
+    the reshape back must recover per-window sorted segments exactly —
+    bit-exact vs the oracle incl. infinities and zero scalars."""
+    import jax
+
+    og = ck.oracle_g1
+    msm = ck.msm("g1")
+    f = ck.g1.f
+    n = 48
+    pts = [og.rnd(rng) for _ in range(n)]
+    pts[2] = None
+    ks = [rng.randrange(og.r) for _ in range(n)]
+    ks[7] = 0
+    want = og.msm(ks, pts)
+    k_limbs = ck.fr.encode(ks, mont=False)
+    A = ck.encode_g1(pts)
+    old = f.msm_sort_merge_windows
+    try:
+        type(f).msm_sort_merge_windows = True
+        res = jax.jit(
+            msm.msm_std.__wrapped__, static_argnums=(0, 3, 4, 5)
+        )(msm, k_limbs, A, 5, 3, 8)
+    finally:
+        type(f).msm_sort_merge_windows = old
+    got = ck.decode_g1(ck.g1.to_affine(res))
+    assert got == want

@@ -181,6 +181,13 @@ class Field:
     # correctness-tested knob for future toolchains; 0 (off) is the
     # measured default.  ZIKKURAT_SORT_SHARD forces a log2.
     msm_sort_shard_log2 = 0
+    # MSM window-merged sort: concatenate the window chunk's wc digit
+    # rows into ONE sort row under a composite (window | digit) key —
+    # disjoint key ranges + equal window spans mean the sorted row
+    # reshapes back to per-window sorted segments exactly.  Probes the
+    # opposite end of the batch-vs-length trade from the sharded sort.
+    # ZIKKURAT_MERGE_SORT=0/1 forces.
+    msm_sort_merge_windows = False
     # Drop the iota tie-break operand from every grouped MSM sort and rely
     # on is_stable=True instead: stability guarantees all groups (sharing
     # the identical key row) apply the IDENTICAL permutation, which is the

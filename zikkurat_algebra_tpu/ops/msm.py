@@ -604,6 +604,20 @@ class MSM:
                 wcl, nl = wc * nshards, n // nshards
                 ad = ad.reshape(wcl, nl)
                 rows_all = [r.reshape(wcl, nl) for r in rows_all]
+            # window merge (the opposite restructure): concatenate all
+            # wc windows into ONE sort row under a composite
+            # (window | digit) key — every window contributes exactly nl
+            # elements with keys in its own disjoint range, so the
+            # globally sorted row reshapes back to per-window sorted
+            # segments EXACTLY.  Probes whether XLA:TPU's sort prefers
+            # one long row over a short batch of rows.
+            merged = (getattr(ops.f, "msm_sort_merge_windows", False)
+                      and wcl > 1 and nshards == 1)
+            if merged:
+                keyoff = (jnp.arange(wcl, dtype=jnp.int32)[:, None]
+                          * jnp.int32(nbuckets + 1))
+                ad = (ad + keyoff).reshape(1, wcl * nl)
+                rows_all = [r.reshape(1, wcl * nl) for r in rows_all]
             if (getattr(ops.f, "use_pallas", False)
                     and getattr(ops.f, "use_sort_kernel", False)
                     and n & (n - 1) == 0 and n >= 2048):
@@ -633,7 +647,8 @@ class MSM:
                 stable = getattr(ops.f, "use_stable_sort", False)
                 if not stable:
                     iota = jnp.broadcast_to(
-                        jnp.arange(nl, dtype=jnp.int32)[None], (wcl, nl)
+                        jnp.arange(ad.shape[-1], dtype=jnp.int32)[None],
+                        ad.shape,
                     )
                 GROUP = 13
                 srows = []
@@ -680,6 +695,11 @@ class MSM:
                 _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
                 d_sorted = lax.sort(ad, dimension=1)
                 srows = [sorted_flat[i] for i in range(flat.shape[0])]
+            if merged:
+                # disjoint per-window key ranges + equal window spans =>
+                # the reshape recovers per-window sorted segments exactly
+                d_sorted = d_sorted.reshape(wcl, nl) - keyoff
+                srows = [r.reshape(wcl, nl) for r in srows]
             if pack_flags:
                 flag_sorted = (srows[topx] >> flag_shift) & 3
                 srows[topx] = srows[topx] & flag_clear
