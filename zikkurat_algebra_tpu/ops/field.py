@@ -211,8 +211,17 @@ class Field:
     pallas_tile_msm = 512     # lane tile of the MSM bucket kernel (swept:
                               # 512 -> 138 ms, 256 -> 145, 1024 -> 170 at
                               # the 2^18 chunk shape)
-    pallas_unroll_msm = 8     # block-positions per grid step (sublane
-                              # multiple; ZIKKURAT_MSM_UNROLL to sweep)
+    pallas_unroll_msm = 16    # block-positions per grid step (sublane
+                              # multiple; ZIKKURAT_MSM_UNROLL to sweep).
+                              # 2026-08 toolchain at the 2^20 headline
+                              # shape: 16 -> 1907 ms vs 8 -> 1990 ms for
+                              # the in-context sort+kernel stage (the
+                              # round-3 toolchain had preferred 8)
+    # Extract bucket sums by searchsorted + take_along_axis (nbuckets
+    # gathers) instead of scattering all n running values (dump-slot
+    # heavy); measured 2462 vs 2563 ms for the in-context sort+bucket
+    # stage at 2^20 on the kernel path.
+    use_gather_buckets = True
     use_msm_kernel_g2 = True  # Fp2 bucket kernel for G2 (kill switch)
     pallas_tile_msm2 = 256    # lane tile of the G2 bucket kernel (the
                               # Fp2 kernel's 6 output planes double the

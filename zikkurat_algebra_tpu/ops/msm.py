@@ -398,6 +398,43 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
         o[..., -1, :].reshape(o.shape[:-2] + (wc, nblk)) for o in (X, Y, Z)
     )
     C, cidx = _level2_carries(ops, d_blk, S, nbuckets)
+    rows2 = jnp.arange(wc, dtype=jnp.int32)[:, None]
+    binf = ops.infinity((wc, nbuckets + 1))
+    corr = tuple(
+        b.at[..., rows2, cidx].set(s) for b, s in zip(binf, C)
+    )
+
+    if getattr(ops.f, "use_gather_buckets", True):
+        # GATHER formulation: bucket b's in-block sum sits at the LAST
+        # position holding digit b (seg_id is sorted), found by binary
+        # search — nbuckets take_along_axis gathers per window instead
+        # of n scatter updates (~96% of which hit the dump slot).
+        # Measured 2462 vs 2563 ms for the sort+bucket stage at 2^20.
+        run = tuple(
+            jnp.moveaxis(
+                o.reshape(o.shape[:-2] + (m, wc, nblk)), -3, -1
+            ).reshape(o.shape[:-2] + (wc, n))
+            for o in (X, Y, Z)
+        )
+        bvals = jnp.arange(nbuckets, dtype=jnp.int32)
+        pos = jax.vmap(
+            lambda row: jnp.searchsorted(row, bvals, side="right")
+        )(seg_id).astype(jnp.int32) - 1             # (wc, nbuckets)
+        posc = jnp.maximum(pos, 0)
+        present = jnp.logical_and(
+            pos >= 0,
+            jnp.take_along_axis(seg_id, posc, axis=-1) == bvals[None],
+        )
+        idxb = jnp.broadcast_to(posc, run[0].shape[:-1] + (nbuckets,))
+        vals = tuple(jnp.take_along_axis(r, idxb, axis=-1) for r in run)
+        buckets = ops.select(
+            present, vals, ops.infinity((wc, nbuckets))
+        )
+        pad1 = ops.infinity((wc, 1))
+        buckets = tuple(
+            jnp.concatenate([b, p], -1) for b, p in zip(buckets, pad1)
+        )
+        return ops.add(buckets, corr)
 
     # stream-layout tail extraction + scatter (cf. the XLA path's): the
     # running value at a segment's global tail position is the segment's
@@ -410,14 +447,9 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
     d_s = jnp.moveaxis(d_blk, -1, 0)            # (m, wc, nblk)
     idx = jnp.where(tail_s, d_s, nbuckets)
     rows = jnp.arange(wc, dtype=jnp.int32)[None, :, None]
-    rows2 = jnp.arange(wc, dtype=jnp.int32)[:, None]
-    binf = ops.infinity((wc, nbuckets + 1))
     buckets = tuple(
         b.at[..., rows, idx].set(o.reshape(o.shape[:-2] + (m, wc, nblk)))
         for b, o in zip(binf, (X, Y, Z))
-    )
-    corr = tuple(
-        b.at[..., rows2, cidx].set(s) for b, s in zip(binf, C)
     )
     return ops.add(buckets, corr)
 
