@@ -248,6 +248,9 @@ def main():
     ss = os.environ.get("ZIKKURAT_MERGE_SORT")
     if ss is not None:
         Field.msm_sort_merge_windows = ss not in ("0", "")
+    ss = os.environ.get("ZIKKURAT_GATHER_BUCKETS")
+    if ss is not None:
+        Field.use_gather_buckets = ss not in ("0", "")
     if os.environ.get("ZIKKURAT_LOGDEPTH_WSUM"):
         Field.use_serial_wsum = False
     if os.environ.get("ZIKKURAT_SERIAL_WSUM"):

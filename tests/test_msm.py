@@ -95,11 +95,13 @@ def test_msm_split_sort_path(rng, ck):
     assert got == want
 
 
-def test_msm_pallas_bucket_path(rng):
+@pytest.mark.parametrize("gather_mode", [False, True, "pos"])
+def test_msm_pallas_bucket_path(rng, gather_mode):
     """End-to-end msm_std through the fused Pallas bucket kernel
     (interpret mode) must equal the XLA scan path and the oracle — this
-    covers the packed sort payload -> kernel -> stream-layout scatter
-    wiring in _buckets_pallas, incl. cross-block carries."""
+    covers the packed sort payload -> kernel -> bucket-extraction wiring
+    in _buckets_pallas (scatter, searchsorted-gather, and position-
+    scatter-gather modes), incl. cross-block carries."""
     ck = get_curves(P.BLS12_381)
     og = ck.oracle_g1
     msm = ck.msm("g1")
@@ -112,8 +114,10 @@ def test_msm_pallas_bucket_path(rng):
     want = og.msm(ks, pts)
     k_limbs = ck.fr.encode(ks, mont=False)
     A = ck.encode_g1(pts)
-    old = (f.use_pallas, f.pallas_tile_msm, f.pallas_interpret)
+    old = (f.use_pallas, f.pallas_tile_msm, f.pallas_interpret,
+           f.use_gather_buckets)
     f.use_pallas, f.pallas_tile_msm, f.pallas_interpret = True, 32, True
+    type(f).use_gather_buckets = gather_mode
     try:
         # c=3 keeps segments long (cross-block carries), block=8 small;
         # fresh jit: the cached trace was taken with use_pallas False
@@ -123,7 +127,8 @@ def test_msm_pallas_bucket_path(rng):
             msm.msm_std.__wrapped__, static_argnums=(0, 3, 4, 5)
         )(msm, k_limbs, A, 3, 4, 8)
     finally:
-        f.use_pallas, f.pallas_tile_msm, f.pallas_interpret = old
+        (f.use_pallas, f.pallas_tile_msm, f.pallas_interpret,
+         type(f).use_gather_buckets) = old
     got = ck.decode_g1(ck.g1.to_affine(res))
     assert got == want
 

@@ -404,27 +404,47 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
         b.at[..., rows2, cidx].set(s) for b, s in zip(binf, C)
     )
 
-    if getattr(ops.f, "use_gather_buckets", True):
+    gather_mode = getattr(ops.f, "use_gather_buckets", True)
+    if gather_mode:
         # GATHER formulation: bucket b's in-block sum sits at the LAST
-        # position holding digit b (seg_id is sorted), found by binary
-        # search — nbuckets take_along_axis gathers per window instead
-        # of n scatter updates (~96% of which hit the dump slot).
-        # Measured 2462 vs 2563 ms for the sort+bucket stage at 2^20.
+        # position holding digit b (seg_id is sorted); only nbuckets
+        # values per window are read instead of scattering all n
+        # running values (~96% of which hit the dump slot).  Measured
+        # 2462 vs 2563 ms for the sort+bucket stage at 2^20.  The tail
+        # position map comes either from ONE int32 position scatter
+        # (mode "pos": n 4-byte updates, 1/78th of the value-scatter
+        # bytes) or a binary search per bucket (mode True).
         run = tuple(
             jnp.moveaxis(
                 o.reshape(o.shape[:-2] + (m, wc, nblk)), -3, -1
             ).reshape(o.shape[:-2] + (wc, n))
             for o in (X, Y, Z)
         )
-        bvals = jnp.arange(nbuckets, dtype=jnp.int32)
-        pos = jax.vmap(
-            lambda row: jnp.searchsorted(row, bvals, side="right")
-        )(seg_id).astype(jnp.int32) - 1             # (wc, nbuckets)
-        posc = jnp.maximum(pos, 0)
-        present = jnp.logical_and(
-            pos >= 0,
-            jnp.take_along_axis(seg_id, posc, axis=-1) == bvals[None],
-        )
+        if gather_mode == "pos":
+            tailm = jnp.concatenate(
+                [seg_id[..., 1:] != seg_id[..., :-1],
+                 jnp.ones((wc, 1), jnp.bool_)], axis=-1
+            )
+            tidx = jnp.where(tailm, seg_id, nbuckets)   # (wc, n)
+            pos_iota = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None], (wc, n)
+            )
+            posmap = jnp.full((wc, nbuckets + 1), n, jnp.int32)
+            posmap = posmap.at[rows2, tidx].set(pos_iota)
+            pos = posmap[..., :nbuckets]                # (wc, nbuckets)
+            present = pos < n
+            posc = jnp.minimum(pos, n - 1)
+        else:
+            bvals = jnp.arange(nbuckets, dtype=jnp.int32)
+            pos = jax.vmap(
+                lambda row: jnp.searchsorted(row, bvals, side="right")
+            )(seg_id).astype(jnp.int32) - 1             # (wc, nbuckets)
+            posc = jnp.maximum(pos, 0)
+            present = jnp.logical_and(
+                pos >= 0,
+                jnp.take_along_axis(seg_id, posc, axis=-1)
+                == bvals[None],
+            )
         idxb = jnp.broadcast_to(posc, run[0].shape[:-1] + (nbuckets,))
         vals = tuple(jnp.take_along_axis(r, idxb, axis=-1) for r in run)
         buckets = ops.select(
