@@ -217,11 +217,14 @@ class Field:
                               # shape: 16 -> 1907 ms vs 8 -> 1990 ms for
                               # the in-context sort+kernel stage (the
                               # round-3 toolchain had preferred 8)
-    # Extract bucket sums by searchsorted + take_along_axis (nbuckets
-    # gathers) instead of scattering all n running values (dump-slot
-    # heavy); measured 2462 vs 2563 ms for the in-context sort+bucket
-    # stage at 2^20 on the kernel path.
-    use_gather_buckets = True
+    # Bucket-sum extraction strategy on the kernel path: True =
+    # searchsorted + take_along_axis (nbuckets gathers), "pos" = one
+    # int32 position scatter + gathers, False = full value scatter.
+    # "auto" (default) = gather only at n >= 2^20: measured 380.0k vs
+    # 364.0k pts/s there, but 170.7k vs 324.6k at 2^18 and 48.7k vs
+    # 99.7k on G2 2^16 — strongly shape-dependent.
+    # ZIKKURAT_GATHER_BUCKETS=0/1/pos forces.
+    use_gather_buckets = "auto"
     use_msm_kernel_g2 = True  # Fp2 bucket kernel for G2 (kill switch)
     pallas_tile_msm2 = 256    # lane tile of the G2 bucket kernel (the
                               # Fp2 kernel's 6 output planes double the

@@ -404,7 +404,13 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
         b.at[..., rows2, cidx].set(s) for b, s in zip(binf, C)
     )
 
-    gather_mode = getattr(ops.f, "use_gather_buckets", True)
+    gather_mode = getattr(ops.f, "use_gather_buckets", "auto")
+    if gather_mode == "auto":
+        # measured crossover (wave 5): at n=2^20 the searchsorted
+        # gather wins (380.0k vs 364.0k pts/s); at n=2^18/wc=8 it
+        # LOSES BADLY (170.7k vs 324.6k) and G2 2^16 drops 2x
+        # (48.7k vs 99.7k) — gather only at the largest shapes
+        gather_mode = n >= (1 << 20)
     if gather_mode:
         # GATHER formulation: bucket b's in-block sum sits at the LAST
         # position holding digit b (seg_id is sorted); only nbuckets
