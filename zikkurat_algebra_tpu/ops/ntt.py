@@ -67,11 +67,14 @@ class NTTDomain:
 
     #: minimum log2 size for the single-chip four-step decomposition
     #: (override with ZIKKURAT_NTT_FOURSTEP: "0" disables, an int sets it).
-    #: Default OFF: measured END-TO-END (honest host-fetch) the four-step
-    #: path REGRESSED the radix-2 lane path on hardware (2^22: 1.314 s vs
-    #: 0.681 s; 2^20: 0.839 s vs 0.133 s) — the two full-array transposes
-    #: cost more than the lane-granularity butterflies they avoid.
-    FOUR_STEP_MIN = 10**9
+    #: TOOLCHAIN-VERSIONED DEFAULT (see the CLAUDE.md lesson): on the
+    #: round-3 toolchain the radix-2 lane path won (2^22: 0.681 s vs
+    #: four-step 1.314 s) and the default was OFF; the 2026-08 toolchain
+    #: regressed the lane path 2-3x (2^22 -> 1.402 s, 2^20 -> 0.418 s)
+    #: while four-step now measures 0.415 s / 0.107 s there — better
+    #: than the lane path ever was.  Measured endpoints 2^20 and 2^22;
+    #: the transposes shrink quadratically below that.
+    FOUR_STEP_MIN = 16
 
     def __init__(self, field: Field, log2_size: int,
                  four_step: bool | None = None):
