@@ -242,6 +242,9 @@ def main():
     ss = os.environ.get("ZIKKURAT_HOISTED_WSUM")
     if ss is not None:
         Field.use_hoisted_wsum = ss not in ("0", "")
+    ss = os.environ.get("ZIKKURAT_HOISTED_SORT")
+    if ss is not None:
+        Field.use_hoisted_sort = ss not in ("0", "")
     ss = os.environ.get("ZIKKURAT_SORT_SHARD")
     if ss is not None:
         Field.msm_sort_shard_log2 = int(ss)

@@ -163,6 +163,39 @@ def test_msm_legacy_per_chunk_wsum(rng, ck):
     assert got == want
 
 
+def test_msm_hoisted_sort_path(rng, ck):
+    """The hoisted batched sort (use_hoisted_sort=True: all window
+    chunks' grouping sorts run as ONE batched sort set before the chunk
+    scan) must stay bit-exact vs the oracle, G1 and G2."""
+    import jax
+
+    for grp in ("g1", "g2"):
+        og = ck.oracle_g1 if grp == "g1" else ck.oracle_g2
+        msm = ck.msm(grp)
+        gops = getattr(ck, grp)
+        f = gops.f
+        n = 23
+        pts = [og.rnd(rng) for _ in range(n)]
+        pts[4] = None
+        ks = [rng.randrange(og.r) for _ in range(n)]
+        ks[6] = 0
+        want = og.msm(ks, pts)
+        k_limbs = ck.fr.encode(ks, mont=False)
+        enc = ck.encode_g1 if grp == "g1" else ck.encode_g2
+        dec = ck.decode_g1 if grp == "g1" else ck.decode_g2
+        A = enc(pts)
+        old = getattr(f, "use_hoisted_sort", "auto")
+        try:
+            type(f).use_hoisted_sort = True
+            res = jax.jit(
+                msm.msm_std.__wrapped__, static_argnums=(0, 3, 4, 5)
+            )(msm, k_limbs, A, 5, 2, 8)
+        finally:
+            type(f).use_hoisted_sort = old
+        got = dec(gops.to_affine(res))
+        assert got == want
+
+
 def test_window_size_heuristic():
     # c = round(log2 N - 3.5) (bn128_G1_jac.c:648-650), upper clamp 15
     # (measured: c=15 beats c=16 at 2^20, 352.2k vs 336.3k pts/s)

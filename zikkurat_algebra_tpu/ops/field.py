@@ -170,6 +170,14 @@ class Field:
     # the VPU lanes; costs the materialized (W, 2^(c-1)) bucket planes
     # (~100 MB at 2^20/c=15).  ZIKKURAT_HOISTED_WSUM=0/1 forces.
     use_hoisted_wsum = True
+    # HOISTED BATCHED SORT: run every window chunk's grouping sorts as
+    # ONE batched lax.sort set over the full (W, n) window axis before
+    # the chunk scan (the round-4 sharded-sort A/B showed XLA:TPU sort
+    # cost is per-op-overhead dominated: fewer, bigger-batch sorts
+    # should win).  Costs ~(rows+1)*W*n*4 B of live HBM (byte-gated in
+    # msm.py); "auto" is currently OFF pending the hardware A/B.
+    # ZIKKURAT_HOISTED_SORT=0/1 forces.
+    use_hoisted_sort = "auto"
     # MSM sharded grouping sort: log2 of the shard SIZE each window's
     # digit sort runs over (the pipeline only needs equal digits
     # CONTIGUOUS, so independent shard-local sorts + a cross-shard

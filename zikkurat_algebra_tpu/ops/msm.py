@@ -628,54 +628,35 @@ class MSM:
                 return None, buckets
             return None, _weighted_bucket_sum(ops, buckets)
 
-        def per_chunk(_, digit):
-            # digit: (wc, N) SIGNED.  Sort points by |digit| per window
-            # WITHOUT a gather: TPUs have no hardware gather (jnp.take
-            # lowers to serial/one-hot code), so the packed coordinate
-            # planes ride the sort network as payload of ONE variadic
-            # lax.sort (num_keys=1: the comparator reads only the digit
-            # operand, every payload row moves under the same permutation)
-            # — the balanced-digit sign and the infinity mask share one
-            # extra payload row.
+        def build_rows(digit):
+            # digit: (B, N) SIGNED window digits (B = wc per chunk, or
+            # nchunks*wc on the hoisted-sort path).  Sort points by
+            # |digit| per window WITHOUT a gather: TPUs have no hardware
+            # gather (jnp.take lowers to serial/one-hot code), so the
+            # packed coordinate planes ride the sort network as payload of
+            # ONE variadic lax.sort (num_keys=1: the comparator reads only
+            # the digit operand, every payload row moves under the same
+            # permutation) — the balanced-digit sign and the infinity mask
+            # share one extra payload row.
             ad = jnp.abs(digit)
             sg = (digit < 0).astype(jnp.int32)
-            flagrow = sg | (infi[None] << 1)                # (wc, n)
+            flagrow = sg | (infi[None] << 1)                # (B, n)
             if pack_flags:
                 # sign|inf ride the spare top bits of the last x row
                 rows_all = [
                     (packed[i][None] | (flagrow << flag_shift))
                     if i == topx
-                    else jnp.broadcast_to(packed[i], (wc, n))
+                    else jnp.broadcast_to(packed[i], ad.shape)
                     for i in range(packed.shape[0])
                 ]
             else:
                 rows_all = [
-                    jnp.broadcast_to(packed[i], (wc, n))
+                    jnp.broadcast_to(packed[i], ad.shape)
                     for i in range(packed.shape[0])
                 ] + [flagrow]
-            # shard split: each (wc, n) plane becomes (wc*S, n/S); every
-            # downstream stage (sort, level-1 kernel, level-2 carries,
-            # scatter) is batch-parallel over the leading axis, so the
-            # shards flow through unchanged until finish() re-merges them
-            wcl, nl = wc, n
-            if nshards > 1:
-                wcl, nl = wc * nshards, n // nshards
-                ad = ad.reshape(wcl, nl)
-                rows_all = [r.reshape(wcl, nl) for r in rows_all]
-            # window merge (the opposite restructure): concatenate all
-            # wc windows into ONE sort row under a composite
-            # (window | digit) key — every window contributes exactly nl
-            # elements with keys in its own disjoint range, so the
-            # globally sorted row reshapes back to per-window sorted
-            # segments EXACTLY.  Probes whether XLA:TPU's sort prefers
-            # one long row over a short batch of rows.
-            merged = (getattr(ops.f, "msm_sort_merge_windows", False)
-                      and wcl > 1 and nshards == 1)
-            if merged:
-                keyoff = (jnp.arange(wcl, dtype=jnp.int32)[:, None]
-                          * jnp.int32(nbuckets + 1))
-                ad = (ad + keyoff).reshape(1, wcl * nl)
-                rows_all = [r.reshape(1, wcl * nl) for r in rows_all]
+            return ad, rows_all
+
+        def run_sorts(ad, rows_all):
             if (getattr(ops.f, "use_pallas", False)
                     and getattr(ops.f, "use_sort_kernel", False)
                     and n & (n - 1) == 0 and n >= 2048):
@@ -686,7 +667,8 @@ class MSM:
                     ad, flat, interpret=ops.f.pallas_interpret
                 )
                 srows = [sorted_flat[i] for i in range(sorted_flat.shape[0])]
-            elif getattr(ops.f, "use_split_sort", "auto") in ("auto", True):
+                return d_sorted, srows
+            if getattr(ops.f, "use_split_sort", "auto") in ("auto", True):
                 # GROUPED variadic sorts, <= 13 payload rows each.  The
                 # single all-rows variadic sort (one comparator, least
                 # data movement) is a COMPILER KILLER: XLA:TPU allocates
@@ -740,24 +722,56 @@ class MSM:
                     if d_sorted is None:
                         d_sorted = out[0]
                     srows += list(grp)
-            else:
-                # FALLBACK: two-operand sort_key_val with the key BROADCAST
-                # next to every payload row (one 3-D payload array).  This
-                # moves the key redundantly (2x traffic vs the variadic
-                # form) but is the formulation the TPU compiler handles
-                # well — measured 245k pts/s end-to-end at 2^18 in round 2,
-                # while the 27-operand variadic form never finished
-                # compiling.
-                flat = jnp.stack(rows_all)
-                keys = jnp.broadcast_to(ad[None], flat.shape)
-                _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
-                d_sorted = lax.sort(ad, dimension=1)
-                srows = [sorted_flat[i] for i in range(flat.shape[0])]
+                return d_sorted, srows
+            # FALLBACK: two-operand sort_key_val with the key BROADCAST
+            # next to every payload row (one 3-D payload array).  This
+            # moves the key redundantly (2x traffic vs the variadic
+            # form) but is the formulation the TPU compiler handles
+            # well — measured 245k pts/s end-to-end at 2^18 in round 2,
+            # while the 27-operand variadic form never finished
+            # compiling.
+            flat = jnp.stack(rows_all)
+            keys = jnp.broadcast_to(ad[None], flat.shape)
+            _, sorted_flat = lax.sort_key_val(keys, flat, dimension=2)
+            d_sorted = lax.sort(ad, dimension=1)
+            srows = [sorted_flat[i] for i in range(flat.shape[0])]
+            return d_sorted, srows
+
+        def per_chunk(_, digit):
+            ad, rows_all = build_rows(digit)
+            # shard split: each (wc, n) plane becomes (wc*S, n/S); every
+            # downstream stage (sort, level-1 kernel, level-2 carries,
+            # scatter) is batch-parallel over the leading axis, so the
+            # shards flow through unchanged until finish() re-merges them
+            wcl, nl = wc, n
+            if nshards > 1:
+                wcl, nl = wc * nshards, n // nshards
+                ad = ad.reshape(wcl, nl)
+                rows_all = [r.reshape(wcl, nl) for r in rows_all]
+            # window merge (the opposite restructure): concatenate all
+            # wc windows into ONE sort row under a composite
+            # (window | digit) key — every window contributes exactly nl
+            # elements with keys in its own disjoint range, so the
+            # globally sorted row reshapes back to per-window sorted
+            # segments EXACTLY.  Probes whether XLA:TPU's sort prefers
+            # one long row over a short batch of rows.
+            merged = (getattr(ops.f, "msm_sort_merge_windows", False)
+                      and wcl > 1 and nshards == 1)
+            if merged:
+                keyoff = (jnp.arange(wcl, dtype=jnp.int32)[:, None]
+                          * jnp.int32(nbuckets + 1))
+                ad = (ad + keyoff).reshape(1, wcl * nl)
+                rows_all = [r.reshape(1, wcl * nl) for r in rows_all]
+            d_sorted, srows = run_sorts(ad, rows_all)
             if merged:
                 # disjoint per-window key ranges + equal window spans =>
                 # the reshape recovers per-window sorted segments exactly
                 d_sorted = d_sorted.reshape(wcl, nl) - keyoff
                 srows = [r.reshape(wcl, nl) for r in srows]
+            return bucket_stage(d_sorted, srows, wcl, nl)
+
+        def bucket_stage(d_sorted, srows, wcl, nl):
+            srows = list(srows)
             if pack_flags:
                 flag_sorted = (srows[topx] >> flag_shift) & 3
                 srows[topx] = srows[topx] & flag_clear
@@ -836,10 +850,44 @@ class MSM:
                 )
             return finish(buckets)
 
-        # scan leaves: (nchunks, L.., wc) window points on the legacy
-        # per-chunk path, (nchunks, L.., wc, B) full bucket planes when
-        # the weighted sum is hoisted (the default)
-        _, Ws = lax.scan(per_chunk, None, digits)
+        # HOISTED BATCHED SORT: run every chunk's grouping sorts as ONE
+        # batched lax.sort set over the full (W, n) window axis BEFORE the
+        # scan; the scan then consumes pre-sorted planes.  Motivation: the
+        # round-4 sharded-sort A/B showed XLA:TPU sort cost is dominated
+        # by per-op overhead (more, smaller sorts were 4-5x slower at
+        # equal total data), so 1 sort set at (W, n) should beat nchunks
+        # sets at (wc, n).  Costs HBM: the sorted payload planes for ALL
+        # windows are live at once (~(rows+1) * W * n * 4 B; ~1.9 GB at
+        # 2^20 G1) — hence the byte gate.
+        hoist_flag = getattr(ops.f, "use_hoisted_sort", "auto")
+        sort_bytes = (packed.shape[0] + 2) * W * n * 4
+        if hoist_flag == "auto":
+            hoist_sort = False      # pending hardware A/B
+        else:
+            hoist_sort = bool(hoist_flag)
+        hoist_sort = (
+            hoist_sort and nchunks > 1 and nshards == 1
+            and not getattr(ops.f, "msm_sort_merge_windows", False)
+            and not getattr(ops.f, "use_sort_kernel", False)
+            and sort_bytes <= (3 << 30)
+        )
+
+        if hoist_sort:
+            ad_all, rows_all = build_rows(digits.reshape(nchunks * wc, n))
+            d_sorted, srows = run_sorts(ad_all, rows_all)
+            xs = tuple(
+                r.reshape(nchunks, wc, n) for r in srows + [d_sorted]
+            )
+
+            def per_chunk_sorted(_, x):
+                return bucket_stage(x[-1], list(x[:-1]), wc, n)
+
+            # scan leaves: (nchunks, L.., wc) window points on the legacy
+            # per-chunk path, (nchunks, L.., wc, B) full bucket planes
+            # when the weighted sum is hoisted (the default)
+            _, Ws = lax.scan(per_chunk_sorted, None, xs)
+        else:
+            _, Ws = lax.scan(per_chunk, None, digits)
 
         if hoisted:
             # HOISTED weighted bucket sum: the per-chunk scan emits raw
