@@ -376,12 +376,19 @@ def main():
     pps = n / per_run
 
     baseline_pps = _cpp_baseline_pps(args)
+    from zikkurat_algebra_tpu.ops import msm as _msm_mod
     out = {
         "metric": f"{args.curve.lower().replace('-', '_')}_{grp}_msm_2e{args.n}_points_per_sec",
         "value": round(pps, 2),
         "unit": "points/s",
         "vs_baseline": round(pps / baseline_pps, 4) if baseline_pps else 0.0,
     }
+    if _msm_mod.LAST_PATH:
+        # effective MSM path of the traced run, so gated-off flags can't
+        # be misread as measurements (ADVICE round-4)
+        out["path"] = "+".join(
+            f"{k}={v}" for k, v in sorted(_msm_mod.LAST_PATH.items())
+        )
     _emit(out)
     print(
         f"# n=2^{args.n} backend={jax.devices()[0].platform} "

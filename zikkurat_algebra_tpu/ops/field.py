@@ -174,8 +174,11 @@ class Field:
     # ONE batched lax.sort set over the full (W, n) window axis before
     # the chunk scan (the round-4 sharded-sort A/B showed XLA:TPU sort
     # cost is per-op-overhead dominated: fewer, bigger-batch sorts
-    # should win).  Costs ~(rows+1)*W*n*4 B of live HBM (byte-gated in
-    # msm.py); "auto" is currently OFF pending the hardware A/B.
+    # should win).  Costs ~n_ops*(nchunks*wc)*n*4 B of live HBM, where
+    # n_ops = payload rows + key (+ iota tie-break when unstable)
+    # (byte-gated in msm.py); "auto" is currently OFF pending the
+    # hardware A/B.  A forced True takes precedence over AUTO sort
+    # sharding and warns when any other gate still overrides it.
     # ZIKKURAT_HOISTED_SORT=0/1 forces.
     use_hoisted_sort = "auto"
     # MSM sharded grouping sort: log2 of the shard SIZE each window's

@@ -35,6 +35,11 @@ from .curve import ProjCurveOps, Point, AffBatch, limbs_to_bits
 
 U32 = jnp.uint32
 
+# Effective-path record of the most recent msm_std TRACE (not call: cached
+# jits skip tracing).  bench.py attaches this to its JSON line so gated-off
+# flags can't be misread as measurements (ADVICE round-4).
+LAST_PATH: dict = {}
+
 
 def window_size(n: int) -> int:
     """Reference heuristic c = round(log2 N - 3.5), clamped
@@ -562,7 +567,14 @@ class MSM:
         # sets the shard SIZE; 0 disables.
         shard_l2 = getattr(ops.f, "msm_sort_shard_log2", "auto")
         if shard_l2 == "auto":
-            shard_l2 = 16
+            # an EXPLICITLY forced hoisted sort takes precedence over
+            # auto sharding (its gate requires nshards == 1; without
+            # this the forced A/B silently re-measures the sharded
+            # baseline — ADVICE round-4)
+            if getattr(ops.f, "use_hoisted_sort", "auto") is True:
+                shard_l2 = 0
+            else:
+                shard_l2 = 16
         sh = (1 << shard_l2) if shard_l2 else 0
         nshards = 1
         if (sh and n > sh and n % sh == 0
@@ -860,7 +872,14 @@ class MSM:
         # windows are live at once (~(rows+1) * W * n * 4 B; ~1.9 GB at
         # 2^20 G1) — hence the byte gate.
         hoist_flag = getattr(ops.f, "use_hoisted_sort", "auto")
-        sort_bytes = (packed.shape[0] + 2) * W * n * 4
+        # live sort bytes on the hoisted path: the sort runs over
+        # nchunks*wc rows (W padded up to a chunk multiple); operands =
+        # payload rows (+1 dedicated flag row unless packed) + key + an
+        # iota tie-break on the non-stable split-sort path
+        hrows = nchunks * wc
+        n_ops = (packed.shape[0] + (0 if pack_flags else 1) + 1
+                 + (0 if getattr(ops.f, "use_stable_sort", False) else 1))
+        sort_bytes = n_ops * hrows * n * 4
         if hoist_flag == "auto":
             hoist_sort = False      # pending hardware A/B
         else:
@@ -870,6 +889,21 @@ class MSM:
             and not getattr(ops.f, "msm_sort_merge_windows", False)
             and not getattr(ops.f, "use_sort_kernel", False)
             and sort_bytes <= (3 << 30)
+        )
+        if hoist_flag is True and not hoist_sort:
+            import sys as _sys
+            print(
+                "# msm: forced use_hoisted_sort=True OVERRIDDEN by gate "
+                f"(nchunks={nchunks}, nshards={nshards}, "
+                f"sort_bytes={sort_bytes}) — running the per-chunk path",
+                file=_sys.stderr,
+            )
+        LAST_PATH.clear()
+        LAST_PATH.update(
+            hoisted_sort=bool(hoist_sort), nshards=nshards,
+            nchunks=nchunks, wc=wc, c=c, block=block,
+            merged=bool(getattr(ops.f, "msm_sort_merge_windows", False)),
+            hoisted_wsum=bool(hoisted), sort_bytes=sort_bytes,
         )
 
         if hoist_sort:
