@@ -176,9 +176,11 @@ class Field:
     # cost is per-op-overhead dominated: fewer, bigger-batch sorts
     # should win).  Costs ~n_ops*(nchunks*wc)*n*4 B of live HBM, where
     # n_ops = payload rows + key (+ iota tie-break when unstable)
-    # (byte-gated in msm.py); "auto" is currently OFF pending the
-    # hardware A/B.  A forced True takes precedence over AUTO sort
-    # sharding and warns when any other gate still overrides it.
+    # (byte-gated in msm.py); "auto" = ON within the gates — measured
+    # round 5 on the 2026-08 toolchain: 408.4k vs 380.5k pts/s at the
+    # 2^20 G1 headline (+7.3%), 324.1k at 2^18 (top of the round-4
+    # band).  A forced True takes precedence over AUTO sort sharding
+    # and warns when any other gate still overrides it.
     # ZIKKURAT_HOISTED_SORT=0/1 forces.
     use_hoisted_sort = "auto"
     # MSM sharded grouping sort: log2 of the shard SIZE each window's

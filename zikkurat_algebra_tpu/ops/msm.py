@@ -41,6 +41,20 @@ U32 = jnp.uint32
 LAST_PATH: dict = {}
 
 
+def _flag(f, name, default):
+    """Resolve a tuning flag, falling through tower wrappers to the base
+    Field.  Tower objects (G2's Fp2 coordinates) carry no tuning
+    attributes of their own, so a bare getattr on ops.f silently fell
+    back to the getattr default there — Field-class defaults and
+    env-forced A/B flags never reached G2 runs (round-5 fix)."""
+    while True:
+        if hasattr(f, name):
+            return getattr(f, name)
+        if not hasattr(f, "base"):
+            return default
+        f = f.base
+
+
 def window_size(n: int) -> int:
     """Reference heuristic c = round(log2 N - 3.5), clamped
     (bn128_G1_jac.c:648-650).  Upper clamp 15 (not the reference's wider
@@ -164,7 +178,7 @@ def _weighted_bucket_sum(ops: ProjCurveOps, S: Point) -> Point:
     scales with the while-body count); the log-depth originals are kept
     behind use_serial_wsum=False for runtime A/B."""
     B = S[0].shape[-1]
-    serial = getattr(ops.f, "use_serial_wsum", "auto")
+    serial = _flag(ops.f, "use_serial_wsum", "auto")
     if serial == "auto":
         serial = ops.f.struct_ndim == 1
     if B <= 64 and serial:
@@ -409,7 +423,7 @@ def _buckets_pallas(ops: ProjCurveOps, px, py, flagrow, seg_id: jax.Array,
         b.at[..., rows2, cidx].set(s) for b, s in zip(binf, C)
     )
 
-    gather_mode = getattr(ops.f, "use_gather_buckets", "auto")
+    gather_mode = _flag(ops.f, "use_gather_buckets", "auto")
     if gather_mode == "auto":
         # measured crossover (wave 5): at n=2^20 the searchsorted
         # gather wins (380.0k vs 364.0k pts/s); at n=2^18/wc=8 it
@@ -538,7 +552,7 @@ class MSM:
             window_chunk = max(1, min(8, (1 << 22) // max(n, 1)))
         wc = min(window_chunk, W)
         nchunks = -(-W // wc)
-        hoisted = getattr(ops.f, "use_hoisted_wsum", True)
+        hoisted = _flag(ops.f, "use_hoisted_wsum", True)
         if nchunks * wc != W:  # pad top windows with zero digits (inert)
             digits = jnp.concatenate(
                 [digits, jnp.zeros((nchunks * wc - W, n), jnp.int32)], 0
@@ -565,13 +579,13 @@ class MSM:
         # array; shards are then group-added (B*log2 S extra adds per
         # window, a few % of the level-1 madd work).  msm_sort_shard_log2
         # sets the shard SIZE; 0 disables.
-        shard_l2 = getattr(ops.f, "msm_sort_shard_log2", "auto")
+        shard_l2 = _flag(ops.f, "msm_sort_shard_log2", "auto")
         if shard_l2 == "auto":
             # an EXPLICITLY forced hoisted sort takes precedence over
             # auto sharding (its gate requires nshards == 1; without
             # this the forced A/B silently re-measures the sharded
             # baseline — ADVICE round-4)
-            if getattr(ops.f, "use_hoisted_sort", "auto") is True:
+            if _flag(ops.f, "use_hoisted_sort", "auto") is True:
                 shard_l2 = 0
             else:
                 shard_l2 = 16
@@ -579,7 +593,7 @@ class MSM:
         nshards = 1
         if (sh and n > sh and n % sh == 0
                 and (not block or sh % block == 0)
-                and not getattr(ops.f, "use_sort_kernel", False)):
+                and not _flag(ops.f, "use_sort_kernel", False)):
             nshards = n // sh
 
         # canonicalize the AFFINE coords (inputs may be lazy-band, e.g.
@@ -611,7 +625,7 @@ class MSM:
         # payload row (one less row through the sort network)
         flag_shift = cbits - 32 * (W32 - 1)
         pack_flags = (
-            getattr(ops.f, "use_packed_flags", False) and flag_shift <= 30
+            _flag(ops.f, "use_packed_flags", False) and flag_shift <= 30
         )
         topx = row_counts[0] - 1
         import numpy as _np
@@ -669,8 +683,8 @@ class MSM:
             return ad, rows_all
 
         def run_sorts(ad, rows_all):
-            if (getattr(ops.f, "use_pallas", False)
-                    and getattr(ops.f, "use_sort_kernel", False)
+            if (_flag(ops.f, "use_pallas", False)
+                    and _flag(ops.f, "use_sort_kernel", False)
                     and n & (n - 1) == 0 and n >= 2048):
                 from .pallas_sort import sort_key_val_pallas
 
@@ -680,7 +694,7 @@ class MSM:
                 )
                 srows = [sorted_flat[i] for i in range(sorted_flat.shape[0])]
                 return d_sorted, srows
-            if getattr(ops.f, "use_split_sort", "auto") in ("auto", True):
+            if _flag(ops.f, "use_split_sort", "auto") in ("auto", True):
                 # GROUPED variadic sorts, <= 13 payload rows each.  The
                 # single all-rows variadic sort (one comparator, least
                 # data movement) is a COMPILER KILLER: XLA:TPU allocates
@@ -696,7 +710,7 @@ class MSM:
                 # 301.2k pts/s vs 251.3k for the broadcast-key
                 # sort_key_val (+20%); G2's packed rows become four
                 # grouped sorts.
-                stable = getattr(ops.f, "use_stable_sort", False)
+                stable = _flag(ops.f, "use_stable_sort", False)
                 if not stable:
                     iota = jnp.broadcast_to(
                         jnp.arange(ad.shape[-1], dtype=jnp.int32)[None],
@@ -767,7 +781,7 @@ class MSM:
             # globally sorted row reshapes back to per-window sorted
             # segments EXACTLY.  Probes whether XLA:TPU's sort prefers
             # one long row over a short batch of rows.
-            merged = (getattr(ops.f, "msm_sort_merge_windows", False)
+            merged = (_flag(ops.f, "msm_sort_merge_windows", False)
                       and wcl > 1 and nshards == 1)
             if merged:
                 keyoff = (jnp.arange(wcl, dtype=jnp.int32)[:, None]
@@ -871,23 +885,26 @@ class MSM:
         # sets at (wc, n).  Costs HBM: the sorted payload planes for ALL
         # windows are live at once (~(rows+1) * W * n * 4 B; ~1.9 GB at
         # 2^20 G1) — hence the byte gate.
-        hoist_flag = getattr(ops.f, "use_hoisted_sort", "auto")
+        hoist_flag = _flag(ops.f, "use_hoisted_sort", "auto")
         # live sort bytes on the hoisted path: the sort runs over
         # nchunks*wc rows (W padded up to a chunk multiple); operands =
         # payload rows (+1 dedicated flag row unless packed) + key + an
         # iota tie-break on the non-stable split-sort path
         hrows = nchunks * wc
         n_ops = (packed.shape[0] + (0 if pack_flags else 1) + 1
-                 + (0 if getattr(ops.f, "use_stable_sort", False) else 1))
+                 + (0 if _flag(ops.f, "use_stable_sort", False) else 1))
         sort_bytes = n_ops * hrows * n * 4
         if hoist_flag == "auto":
-            hoist_sort = False      # pending hardware A/B
+            # measured round 5 (2026-08 toolchain): 408.4k vs 380.5k
+            # pts/s at the 2^20 G1 headline (+7.3%), 324.1k at 2^18
+            # (top of the round-4 variance band) — ON within the gates
+            hoist_sort = True
         else:
             hoist_sort = bool(hoist_flag)
         hoist_sort = (
             hoist_sort and nchunks > 1 and nshards == 1
-            and not getattr(ops.f, "msm_sort_merge_windows", False)
-            and not getattr(ops.f, "use_sort_kernel", False)
+            and not _flag(ops.f, "msm_sort_merge_windows", False)
+            and not _flag(ops.f, "use_sort_kernel", False)
             and sort_bytes <= (3 << 30)
         )
         if hoist_flag is True and not hoist_sort:
@@ -902,7 +919,7 @@ class MSM:
         LAST_PATH.update(
             hoisted_sort=bool(hoist_sort), nshards=nshards,
             nchunks=nchunks, wc=wc, c=c, block=block,
-            merged=bool(getattr(ops.f, "msm_sort_merge_windows", False)),
+            merged=bool(_flag(ops.f, "msm_sort_merge_windows", False)),
             hoisted_wsum=bool(hoisted), sort_bytes=sort_bytes,
         )
 
