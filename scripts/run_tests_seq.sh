@@ -8,7 +8,7 @@ mkdir -p /tmp/test_logs
 rc=0
 for f in tests/test_*.py; do
   name=$(basename "$f" .py)
-  if ! python -m pytest "$f" -q -p no:xdist "$@" \
+  if ! python -m pytest "$f" -q -o addopts="" "$@" \
         > "/tmp/test_logs/$name.log" 2>&1; then
     rc=1
     echo "FAIL $f (tail below)"

@@ -176,12 +176,14 @@ class Field:
     # cost is per-op-overhead dominated: fewer, bigger-batch sorts
     # should win).  Costs ~n_ops*(nchunks*wc)*n*4 B of live HBM, where
     # n_ops = payload rows + key (+ iota tie-break when unstable)
-    # (byte-gated in msm.py); "auto" = ON within the gates — measured
-    # round 5 on the 2026-08 toolchain: 408.4k vs 380.5k pts/s at the
-    # 2^20 G1 headline (+7.3%), 324.1k at 2^18 (top of the round-4
-    # band).  A forced True takes precedence over AUTO sort sharding
-    # and warns when any other gate still overrides it.
-    # ZIKKURAT_HOISTED_SORT=0/1 forces.
+    # (byte-gated in msm.py); "auto" = ON within the gates for
+    # base-field (G1) coords — measured round 5 on the 2026-08
+    # toolchain: 408.4k vs 380.5k pts/s at the 2^20 G1 headline
+    # (+7.3%), 324.1k at 2^18 (top of the round-4 band) — and OFF for
+    # Fp2 (G2): see use_stable_sort's compile note.  A forced True
+    # takes precedence over AUTO sort sharding and warns when any
+    # other gate still overrides it.  ZIKKURAT_HOISTED_SORT=0/1
+    # forces.
     use_hoisted_sort = "auto"
     # MSM sharded grouping sort: log2 of the shard SIZE each window's
     # digit sort runs over (the pipeline only needs equal digits
@@ -206,14 +208,19 @@ class Field:
     # the identical key row) apply the IDENTICAL permutation, which is the
     # only thing the composite (digit, lane) key bought.  Bucket sums are
     # order-independent group sums, so intra-bucket order changes are
-    # invisible downstream.  ZIKKURAT_STABLE_SORT=0/1 forces.
-    use_stable_sort = True
+    # invisible downstream.  "auto" = stable for base-field (G1) coords
+    # (measured; round-5 re-sweep: 380.5k stable vs 377.6k iota at 2^20),
+    # iota for Fp2 (G2): the first G2 compile with the G1 flags ran >1 h
+    # on the 2026-08 toolchain.  ZIKKURAT_STABLE_SORT=0/1 forces.
+    use_stable_sort = "auto"
     # Stash the balanced-digit sign + infinity flags in the SPARE top bits
     # of the packed x-coordinate's top radix-2^32 row (381-bit coords use
     # 29 of the top row's 32 bits) instead of a dedicated flag payload row
     # — one less row through the sort network.  Requires >= 2 spare bits
-    # (all three curve families qualify).  ZIKKURAT_PACKED_FLAGS=0/1.
-    use_packed_flags = True
+    # (all three curve families qualify).  "auto" = ON for base-field
+    # (G1) coords, OFF for Fp2 (G2) — see use_stable_sort's compile
+    # note.  ZIKKURAT_PACKED_FLAGS=0/1.
+    use_packed_flags = "auto"
     # The fused butterfly kernel measured SLOWER than the XLA butterfly
     # (whose muls already ride the Pallas CIOS) on v5e: 1.352 s vs
     # 0.987 s for NTT 2^22 — XLA's own fusion of the add/sub around the

@@ -624,9 +624,17 @@ class MSM:
         # sign|inf flags ride INSIDE the last x row instead of a dedicated
         # payload row (one less row through the sort network)
         flag_shift = cbits - 32 * (W32 - 1)
-        pack_flags = (
-            _flag(ops.f, "use_packed_flags", False) and flag_shift <= 30
-        )
+        # fp2-aware autos: the G1 measurements (packed flags, stable
+        # single-key sorts, hoisted batched sort) do NOT transfer to Fp2
+        # coordinates untested — the first G2 compile with the G1
+        # defaults ran >1 h on the 2026-08 toolchain (the variadic-sort
+        # merge pathology class).  Until a G2 A/B lands, "auto" keeps
+        # the round-3/4 measured G2 graph; forced flags still win.
+        base_coords = ops.f.struct_ndim == 1
+        pf_flag = _flag(ops.f, "use_packed_flags", "auto")
+        if pf_flag == "auto":
+            pf_flag = base_coords
+        pack_flags = bool(pf_flag) and flag_shift <= 30
         topx = row_counts[0] - 1
         import numpy as _np
 
@@ -710,7 +718,10 @@ class MSM:
                 # 301.2k pts/s vs 251.3k for the broadcast-key
                 # sort_key_val (+20%); G2's packed rows become four
                 # grouped sorts.
-                stable = _flag(ops.f, "use_stable_sort", False)
+                stable = _flag(ops.f, "use_stable_sort", "auto")
+                if stable == "auto":
+                    # fp2-aware (see pack_flags note above)
+                    stable = ops.f.struct_ndim == 1
                 if not stable:
                     iota = jnp.broadcast_to(
                         jnp.arange(ad.shape[-1], dtype=jnp.int32)[None],
@@ -891,14 +902,19 @@ class MSM:
         # payload rows (+1 dedicated flag row unless packed) + key + an
         # iota tie-break on the non-stable split-sort path
         hrows = nchunks * wc
+        stable_eff = _flag(ops.f, "use_stable_sort", "auto")
+        if stable_eff == "auto":
+            stable_eff = base_coords
         n_ops = (packed.shape[0] + (0 if pack_flags else 1) + 1
-                 + (0 if _flag(ops.f, "use_stable_sort", False) else 1))
+                 + (0 if stable_eff else 1))
         sort_bytes = n_ops * hrows * n * 4
         if hoist_flag == "auto":
             # measured round 5 (2026-08 toolchain): 408.4k vs 380.5k
             # pts/s at the 2^20 G1 headline (+7.3%), 324.1k at 2^18
             # (top of the round-4 variance band) — ON within the gates
-            hoist_sort = True
+            # for base-field coords; Fp2 pending a G2 compile that
+            # survives (see the fp2-aware note at pack_flags)
+            hoist_sort = base_coords
         else:
             hoist_sort = bool(hoist_flag)
         hoist_sort = (
