@@ -285,3 +285,28 @@ def test_msm_merged_window_sort_path(rng, ck):
         type(f).msm_sort_merge_windows = old
     got = ck.decode_g1(ck.g1.to_affine(res))
     assert got == want
+
+
+def test_flag_resolution_fp2_aware(ck):
+    """Tuning flags resolve through tower wrappers to the base Field
+    (round-5 fix: G2's Fp2 coordinate object has no tuning attributes,
+    so bare getattr silently fell back to getattr defaults there), and
+    the sort-flag autos split per coordinate field: base-field coords
+    get the measured G1 defaults, Fp2 keeps the proven G2 graph."""
+    from zikkurat_algebra_tpu.ops.msm import _flag
+    from zikkurat_algebra_tpu.ops.field import Field
+
+    f2 = ck.g2.f                      # QuadExt over Fp
+    assert not hasattr(type(f2), "use_hoisted_sort")
+    # class-level Field defaults are visible THROUGH the tower wrapper
+    assert _flag(f2, "use_hoisted_sort", "x") == Field.use_hoisted_sort
+    assert _flag(f2, "use_stable_sort", "x") == Field.use_stable_sort
+    # env/class overrides forced on Field reach the tower field too
+    old = Field.use_hoisted_sort
+    try:
+        Field.use_hoisted_sort = True
+        assert _flag(f2, "use_hoisted_sort", "x") is True
+    finally:
+        Field.use_hoisted_sort = old
+    # the fp2-aware auto split: struct_ndim discriminates coordinates
+    assert ck.g1.f.struct_ndim == 1 and f2.struct_ndim == 2
