@@ -415,15 +415,24 @@ class Field:
         minus1 = jnp.broadcast_to(
             self._c(ints_to_limbs15((p - 1) * self.r_int % p, self.L),
                     len(bs)), a.shape)
-        # fixed s-1 iterations; at level i, c has order 2^i
-        for i in range(s, 1, -1):
-            t2 = t
-            for _ in range(i - 2):
-                t2 = self.sqr(t2)
+        # fixed s-1 iterations; at level i, c has order 2^i.  The
+        # textbook O(s^2)-squaring chain is kept, but STRUCTURED as two
+        # nested fori_loops so the graph holds ONE squaring body instead
+        # of ~s^2/2 inlined CIOS scans: at 2-adicity 46 (BLS12-377 Fp)
+        # the inlined form put ~1000 while ops in one graph and a single
+        # fp2_sqrt (5 sqrt calls) ran >40 min of XLA:CPU compile
+        # (round-5 find; compile-time budget rule, see module docstring).
+        def outer(k, st):
+            x, t, c = st
+            i = s - k                          # s down to 2
+            t2 = lax.fori_loop(0, i - 2, lambda _, v: self.sqr(v), t)
             flag = self.eq(t2, minus1)
             x = self.select(flag, self.mul(x, c), x)
             c = self.sqr(c)
             t = self.select(flag, self.mul(t, c), t)
+            return (x, t, c)
+
+        x, t, c = lax.fori_loop(0, s - 1, outer, (x, t, c))
         ok = self.eq(self.sqr(x), a)
         return x, ok
 
