@@ -297,16 +297,24 @@ def test_flag_resolution_fp2_aware(ck):
     from zikkurat_algebra_tpu.ops.field import Field
 
     f2 = ck.g2.f                      # QuadExt over Fp
-    assert not hasattr(type(f2), "use_hoisted_sort")
-    # class-level Field defaults are visible THROUGH the tower wrapper
-    assert _flag(f2, "use_hoisted_sort", "x") == Field.use_hoisted_sort
-    assert _flag(f2, "use_stable_sort", "x") == Field.use_stable_sort
-    # env/class overrides forced on Field reach the tower field too
+    # other tests may have left tower-CLASS flag attributes behind
+    # (type(f).flag = ... force/restore); normalize, restore at the end
+    saved = {}
+    for name in ("use_hoisted_sort", "use_stable_sort"):
+        if name in type(f2).__dict__:
+            saved[name] = type(f2).__dict__[name]
+            delattr(type(f2), name)
     old = Field.use_hoisted_sort
     try:
+        # class-level Field defaults are visible THROUGH the tower wrapper
+        assert _flag(f2, "use_hoisted_sort", "x") == Field.use_hoisted_sort
+        assert _flag(f2, "use_stable_sort", "x") == Field.use_stable_sort
+        # env/class overrides forced on Field reach the tower field too
         Field.use_hoisted_sort = True
         assert _flag(f2, "use_hoisted_sort", "x") is True
     finally:
         Field.use_hoisted_sort = old
+        for name, v in saved.items():
+            setattr(type(f2), name, v)
     # the fp2-aware auto split: struct_ndim discriminates coordinates
     assert ck.g1.f.struct_ndim == 1 and f2.struct_ndim == 2
