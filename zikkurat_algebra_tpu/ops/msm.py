@@ -550,6 +550,25 @@ class MSM:
             # 2^(c-1); still far under the 16 GB HBM at every supported
             # shape (c is clamped to 15), so the cap formula stands.
             window_chunk = max(1, min(8, (1 << 22) // max(n, 1)))
+            # Under the HOISTED batched sort wc no longer shapes the
+            # sort (one sort set over all W windows either way), only
+            # the chunk scan — and wc=2 DOMINATES the old cap formula
+            # on hardware (BASELINE round 5: 437.0k vs 408.7k pts/s at
+            # 2^20, 405.5k vs 324.3k at 2^18, 477.4k at 2^21): smaller
+            # chunks shrink the gathered coordinate arrays and scan
+            # temporaries while the hoisted weighted sum still batches
+            # ALL windows.  Use 2 whenever the hoist will engage
+            # (base-field coords, byte gate passes — the conservative
+            # estimate below upper-bounds the exact gate's sort_bytes).
+            if ops.f.struct_ndim == 1 and window_chunk > 1 and W > 2:
+                hf = _flag(ops.f, "use_hoisted_sort", "auto")
+                fb0 = ops.f
+                while hasattr(fb0, "base"):
+                    fb0 = fb0.base
+                w32e = -(-fb0.p.bit_length() // 32)
+                est = (2 * w32e + 2) * (-(-W // 2) * 2) * n * 4
+                if hf in ("auto", True) and est <= (9 << 29):
+                    window_chunk = 2
         wc = min(window_chunk, W)
         nchunks = -(-W // wc)
         hoisted = _flag(ops.f, "use_hoisted_wsum", True)
@@ -921,7 +940,11 @@ class MSM:
             hoist_sort and nchunks > 1 and nshards == 1
             and not _flag(ops.f, "msm_sort_merge_windows", False)
             and not _flag(ops.f, "use_sort_kernel", False)
-            and sort_bytes <= (3 << 30)
+            # 4.5 GB cap admits 2^21 G1 (3.77 GB live sorted payload)
+            # and still excludes 2^22 (7.5 GB — would crowd the 16 GB
+            # HBM next to the gathered coordinate arrays and bucket
+            # planes); A/B at 2^21 in BASELINE.md round 5
+            and sort_bytes <= (9 << 29)
         )
         if hoist_flag is True and not hoist_sort:
             import sys as _sys
