@@ -560,7 +560,10 @@ class MSM:
             # ALL windows.  Use 2 whenever the hoist will engage
             # (base-field coords, byte gate passes — the conservative
             # estimate below upper-bounds the exact gate's sort_bytes).
-            if ops.f.struct_ndim == 1 and window_chunk > 1 and W > 2:
+            # ...but only at n >= 2^18: at 2^16 the 12 tiny chunk-scan
+            # steps dominate (191.6k wc=2 vs 254.1k wc=8 measured)
+            if (ops.f.struct_ndim == 1 and window_chunk > 1 and W > 2
+                    and n >= (1 << 18)):
                 hf = _flag(ops.f, "use_hoisted_sort", "auto")
                 fb0 = ops.f
                 while hasattr(fb0, "base"):
